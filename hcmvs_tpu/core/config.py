@@ -1,0 +1,178 @@
+"""Dense-reconstruction configuration.
+
+Single frozen dataclass mirroring the reference's OPTDENSE config space
+(ref: frame_main/libs/MVS/DepthMap.h:110-198 externs and
+frame_main/libs/MVS/DepthMap.cpp:67-143 defaults), including every HC-MVS
+addition, so the per-stage flag sets in ``data/*/resize*/run.py`` map 1:1
+for parity runs.  Being frozen + hashable, a ``DenseConfig`` is passed as a
+static argument to jitted stages: changing a knob recompiles, using one is
+free at runtime.
+
+Defaults follow the canonical HC-MVS parameterization used by the driver
+scripts (ref: data/frame_main/resize2/run.py:36-78) where they differ from
+the compiled-in defaults, since the run.py layer is the de-facto ground
+truth for what the reference actually runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseConfig:
+    # --- resolution / view selection (ref: DepthMap.cpp:70-86) -------------
+    resolution_level: int = 1          # nResolutionLevel
+    max_resolution: int = 3200         # nMaxResolution
+    min_resolution: int = 640          # nMinResolution
+    min_views: int = 2                 # nMinViews
+    max_views: int = 12                # nMaxViews
+    min_views_fuse: int = 2            # nMinViewsFuse
+    min_views_filter: int = 2          # nMinViewsFilter
+    min_views_filter_adjust: int = 1   # nMinViewsFilterAdjust
+    min_views_trust_point: int = 2     # nMinViewsTrustPoint
+    num_views: int = 10                # nNumViews (run.py --number-views 10)
+    filter_adjust: bool = True         # bFilterAdjust
+    add_corners: bool = True           # bAddCorners
+    view_min_score: float = 0.0        # fViewMinScore
+    view_min_score_ratio: float = 0.3  # fViewMinScoreRatio
+    min_angle: float = 3.0             # fMinAngle (degrees)
+    optim_angle: float = 10.0          # fOptimAngle
+    max_angle: float = 65.0            # fMaxAngle
+    min_area: float = 0.01             # fMinArea
+
+    # --- patch matching core (ref: DepthMap.cpp:120-134, DepthMap.h:124) ---
+    patch_half_window: int = 5         # nSizeHalfWindow (stock)
+    patch_step: int = 2                # nSizeStep
+    adapt_half_window: int = 7         # adapthalfwin — weak-texture half win
+    propagate_half_window: int = 5     # propagatehalfwin
+    propagate_step: int = 4            # propagatestep
+    estimation_iters: int = 3          # nEstimationIters (inner)
+    estimation_iters_external: int = 4 # nEstimationIters_external (outer)
+    random_iters: int = 6              # nRandomIters
+    random_max_scale: int = 2          # nRandomMaxScale
+    random_depth_ratio: float = 0.003  # fRandomDepthRatio
+    random_angle1_range: float = 16.0  # fRandomAngle1Range (degrees)
+    random_angle2_range: float = 10.0  # fRandomAngle2Range (degrees)
+    random_smooth_depth: float = 0.02  # fRandomSmoothDepth
+    random_smooth_normal: float = 13.0 # fRandomSmoothNormal (degrees)
+    random_smooth_bonus: float = 0.93  # fRandomSmoothBonus
+    ncc_threshold_keep: float = 0.55   # fNCCThresholdKeep
+    min_patch_variance: float = 0.01   # fDescriptorMinMagnitudeThreshold
+    depth_diff_threshold: float = 0.01 # fDepthDiffThreshold
+    normal_diff_threshold: float = 25. # fNormalDiffThreshold (degrees)
+
+    # --- HC-MVS cost-term schedule (ref: DepthMap.cpp:96-117) --------------
+    photo2geo: int = 1                 # outer iter at which geo switches on
+    use_geo_consistency: int = 1       # usegeoconsistency
+    use_part_consistency: int = 0      # usepartconsistency
+    use_optical_flow: int = 1          # opticalflow
+    view_spread: int = 0               # viewspread
+    init_triangulate: int = 0          # initTriangulate (0: load prev stage)
+    tx_threshold: float = 150.0        # txthreshold (gradient split 1)
+    tx_threshold2: float = 175.0       # txthreshold2 (gradient split 2)
+    para_part: float = 0.1             # local-smoothness weight
+    para_part2: float = 0.05           # local-smoothness weight 2
+    para_tapa: float = 0.26            # geometric-consistency weight
+    para_tapa2: float = 0.26           # geometric-consistency weight 2
+    para_prior: float = 0.4            # planar-prior weight
+    photometric_flow: float = 0.26     # flow cross-consistency weight
+    maxgeo_proportion: float = 5.0     # epipolar-distance normalizer scale
+    sigma_texture: float = 0.05        # fsigmaTexture
+    sigma_prior: float = 0.2           # fsigmaPrior
+
+    # --- priors (ref: DepthMap.cpp:135-141) --------------------------------
+    use_semantic: bool = False         # nUseSemantic
+    semantic_consistency_mul: float = 0.1  # fSemanticConsistencyMul
+    ransac_probability: float = 0.005  # ransacprobability
+    ransac_epsilon_mul: float = 1.4    # fransacEpsilonMul
+    ransac_cluster_mul: float = 7.0    # fransacClusterMul
+    ransac_min_points_div: float = 40. # fransacMinPointsDiv
+
+    # --- filtering / fusion (ref: DepthMap.cpp:101,142-143) ---------------
+    optimize: int = 1                  # nOptimize (inter-frame filter flag)
+    speckle_size: int = 100            # nSpeckleSize
+    ipol_gap_size: int = 7             # nIpolGapSize
+    depth_weight: float = 1.0          # depthweight (fusion threshold scale)
+    normal_weight: float = 1.0         # normalweight
+    estimate_colors: int = 2           # nEstimateColors
+    estimate_normals: int = 2          # nEstimateNormals
+
+    # --- TPU-only knobs (no reference analog) ------------------------------
+    geo_max_neighbors: int = 4         # neighbor depth maps gathered for geo
+    agg_top_k: int = 0                 # 0: min-mean aggregation over views
+                                       # (ref DENSE_AGGNCC_MINMEAN), else top-k
+    use_pallas: bool = True            # Pallas kernels vs pure-XLA fallback
+
+    @property
+    def num_patch_samples(self) -> int:
+        """Sample count along one patch axis (static for jit)."""
+        return self.patch_half_window * 2 // self.patch_step + 1
+
+    def replace(self, **kw) -> "DenseConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# CLI flag name -> field name, for parity with the reference's run.py layer
+# (ref: apps/DensifyPointCloud/DensifyPointCloud.cpp:140-199).
+CLI_FLAG_MAP = {
+    "resolution-level": "resolution_level",
+    "max-resolution": "max_resolution",
+    "min-resolution": "min_resolution",
+    "number-views": "num_views",
+    "number-views-fuse": "min_views_fuse",
+    "n-EstimationIters": "estimation_iters",
+    "n-EstimationIters-external": "estimation_iters_external",
+    "n-photo2geo": "photo2geo",
+    "n-viewspread": "view_spread",
+    "n-opticalflow": "use_optical_flow",
+    "n-initTriangulate": "init_triangulate",
+    "n-photometric_flow": "photometric_flow",
+    "n-nOptimize": "optimize",
+    "n-usepartconsistency": "use_part_consistency",
+    "n-usegeoconsistency": "use_geo_consistency",
+    "use-semantic": "use_semantic",
+    "n-maxgeo_proportion": "maxgeo_proportion",
+    "n-txthreshold": "tx_threshold",
+    "n-txthreshold2": "tx_threshold2",
+    "n-para_part": "para_part",
+    "n-para_part2": "para_part2",
+    "n-para_tapa": "para_tapa",
+    "n-para_tapa2": "para_tapa2",
+    "n-para_prior": "para_prior",
+    "n-adapthalfwin": "adapt_half_window",
+    "n-propagatehalfwin": "propagate_half_window",
+    "n-propagatestep": "propagate_step",
+    "ransac-probability": "ransac_probability",
+    "ransac-epsilon": "ransac_epsilon_mul",
+    "ransac-cluster": "ransac_cluster_mul",
+    "ransac-min-points": "ransac_min_points_div",
+    "estimate-normals": "estimate_normals",
+}
+
+
+def config_from_cli_flags(flags: dict, base: Optional[DenseConfig] = None
+                          ) -> DenseConfig:
+    """Build a DenseConfig from reference-style CLI flags.
+
+    ``flags`` maps flag names (without leading dashes, e.g. from parsing a
+    reference ``run.py``) to string/number values.
+    """
+    cfg = base or DenseConfig()
+    fields = {f.name: f.type for f in dataclasses.fields(DenseConfig)}
+    updates = {}
+    for flag, value in flags.items():
+        name = CLI_FLAG_MAP.get(flag)
+        if name is None:
+            continue
+        ftype = fields[name]
+        if ftype in ("int", int):
+            updates[name] = int(value)
+        elif ftype in ("float", float):
+            updates[name] = float(value)
+        elif ftype in ("bool", bool):
+            updates[name] = bool(int(value))
+        else:
+            updates[name] = value
+    return cfg.replace(**updates)

@@ -1,0 +1,93 @@
+"""Image loading, grayscale conversion, resizing and pyramids.
+
+Host-side analog of the reference's image layer (ref: frame_main/libs/IO/
+Image*.cpp codecs behind CImage, and libs/MVS/Image.cpp ReloadImage /
+RecomputeMaxResolution).  Decoding uses OpenCV (already a reference
+dependency); everything after decode is numpy/JAX arrays, laid out
+(H, W[, C]) float32 in [0, 1], which is the layout the device kernels use.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import cv2
+import numpy as np
+
+
+def load_image(path: str, gray: bool = False) -> np.ndarray:
+    """Load an image as float32 in [0, 1]; RGB (H, W, 3) or gray (H, W)."""
+    flag = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+    img = cv2.imread(path, flag)
+    if img is None:
+        raise FileNotFoundError(path)
+    if not gray:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return img.astype(np.float32) / 255.0
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    """RGB (H, W, 3) -> gray (H, W) with the BT.601 weights cv2 uses."""
+    if img.ndim == 2:
+        return img
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).astype(img.dtype)
+
+
+def compute_resolution_scale(width: int, height: int, resolution_level: int,
+                             max_resolution: int, min_resolution: int
+                             ) -> float:
+    """Scale factor for a resolution level, matching the reference rule.
+
+    Ref: frame_main/libs/MVS/Image.cpp RecomputeMaxResolution — halve the
+    max dimension `resolution_level` times, clamp into
+    [min_resolution, max_resolution], and return the resulting scale.
+    """
+    max_dim = max(width, height)
+    target = max_dim >> resolution_level
+    if max_resolution > 0:
+        target = min(target, max_resolution)
+    if min_resolution > 0:
+        target = max(target, min(min_resolution, max_dim))
+    return target / max_dim
+
+
+def resize_image(img: np.ndarray, scale: float) -> np.ndarray:
+    if scale == 1.0:
+        return img
+    h, w = img.shape[:2]
+    new_w, new_h = max(1, round(w * scale)), max(1, round(h * scale))
+    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_LINEAR
+    return cv2.resize(img, (new_w, new_h), interpolation=interp)
+
+
+def build_pyramid(img: np.ndarray, levels: int) -> List[np.ndarray]:
+    """Half-resolution pyramid, level 0 = input."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(cv2.pyrDown(pyr[-1]))
+    return pyr
+
+
+def pad_to_multiple(img: np.ndarray, multiple: int,
+                    value: float = 0.0) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Edge-pad H and W up to a multiple (TPU tiles want aligned shapes).
+
+    Returns the padded image and the original (H, W) so outputs can be
+    cropped back.
+    """
+    h, w = img.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return img, (h, w)
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, mode="edge"), (h, w)
+
+
+def list_images(directory: str) -> List[str]:
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff", ".ppm"}
+    names = sorted(n for n in os.listdir(directory)
+                   if os.path.splitext(n)[1].lower() in exts)
+    return [os.path.join(directory, n) for n in names]
