@@ -1,0 +1,276 @@
+"""Checkerboard PatchMatch sweeps — the core depth-map estimator.
+
+TPU-first re-design of the reference's sequential zig-zag PatchMatch
+(ref: frame_main/libs/MVS/DepthMap.cpp:1050-1668 ProcessPixel and
+frame_main/libs/MVS/SceneDensify.cpp:758-1072 EstimateDepthMap):
+
+- The reference sweeps pixels sequentially (intra-row dependency, pthread
+  work-stealing).  Here every pixel updates in parallel in red/black
+  (checkerboard) phases: a pixel's propagation candidates come from the
+  opposite parity, which was updated in the previous half-sweep — the
+  Gauss-Seidel data flow of the zig-zag sweep without its serialization
+  (Gipuma/ACMM lineage).
+- Long-range candidates use the HC-MVS cross pattern: offsets at distance
+  1 and 1+k*propagatestep up to propagatehalfwin along both axes
+  (ref: DepthMap.cpp:1064-1274).
+- Random refinement uses the annealed scale ladder
+  (ref: DepthMap.cpp:384 scaleRanges, :1441-1501).
+- Neighbor-view depth/normal maps for the geometric term are frozen for
+  the duration of an external iteration (double-buffered) instead of the
+  reference's benignly-racy live reads (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.dense import score as S
+from hcmvs_tpu.dense.types import (PatchMatchState, ViewGeometry, face_camera,
+                                   init_state, pixel_rays)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ScoreContext:
+    """Everything the cost function reads besides the hypothesis itself."""
+
+    geom: ViewGeometry
+    src_grays: jax.Array               # (V, H, W)
+    stats: S.RefPatchStats
+    hw: jax.Array                      # (H, W) adaptive half-window
+    rays: jax.Array                    # (H, W, 3)
+    gra: jax.Array                     # (H, W) gradient map
+    d_min: jax.Array                   # scalar
+    d_max: jax.Array                   # scalar
+    flow: Optional[jax.Array]          # (H, W, 2) or None
+    prior_depth: Optional[jax.Array]   # (H, W) or None (0 = no prior)
+    nbr_depth: Optional[jax.Array]     # (V, H, W) or None
+    nbr_normal: Optional[jax.Array]    # (V, H, W, 3) or None
+
+
+def propagation_offsets(cfg: DenseConfig) -> list:
+    """Static candidate offsets: the HC-MVS cross pattern
+    (ref: DepthMap.cpp:1193-1199 — ±1 then ±(1+k*step) up to halfwin)."""
+    dists = [1]
+    d = 1 + cfg.propagate_step
+    while d <= max(cfg.propagate_half_window, 1) + cfg.propagate_step - 1:
+        dists.append(d)
+        d += cfg.propagate_step
+    offs = []
+    for dist in dists:
+        offs += [(0, dist), (0, -dist), (dist, 0), (-dist, 0)]
+    return offs
+
+
+def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
+                 cur_depth_map: jax.Array, cur_normal_map: jax.Array,
+                 delta_c2pmax: jax.Array, cfg: DenseConfig,
+                 phase: int, offsets: np.ndarray) -> jax.Array:
+    """Aggregated per-pixel cost of a hypothesis field (H, W) -> (H, W).
+
+    ``phase`` 0 = photometric (it_ext < photo2geo), 1 = geometric.
+    """
+    ncc, bad = S.photometric_scores(ctx.geom, ctx.src_grays, ctx.stats,
+                                    ctx.hw, depth, normal, ctx.rays,
+                                    offsets, cfg)
+    bonus = S.smoothness_bonus(cur_depth_map, cur_normal_map, ctx.rays,
+                               depth, normal, cfg)
+    # the bonus applies only to real matches: thRobust placeholders for
+    # OOB/textureless views stay flat (ref early-returns, DepthMap.cpp:558)
+    ncc = jnp.where(bad, ncc, ncc * bonus[None])
+
+    use_geo = (phase >= 1 and cfg.use_geo_consistency
+               and ctx.nbr_depth is not None)
+    if use_geo:
+        geo = S.geometric_scores(ctx.geom, depth, normal, ctx.rays,
+                                 ctx.nbr_depth, ctx.nbr_normal, cfg)
+        para_tapa, para_part = S.texture_weights(ctx.gra, cfg)
+        gra_s = S.local_smoothness_score(cur_depth_map, cur_normal_map,
+                                         ctx.rays, depth, normal, ctx.d_max,
+                                         delta_c2pmax)
+        per_view = (1.0 - para_tapa)[None] * ncc + para_tapa[None] * geo
+        per_view = ((1.0 - para_part)[None] * per_view
+                    + para_part[None] * gra_s[None])
+    else:
+        per_view = ncc
+
+    if cfg.use_optical_flow and ctx.flow is not None:
+        fs = S.flow_score(ctx.geom, depth, ctx.rays, ctx.flow, view_idx=0)
+        w = cfg.photometric_flow
+        per_view = per_view.at[0].set((1.0 - w) * per_view[0] + w * fs)
+
+    agg = S.aggregate_scores(per_view, cfg)
+
+    if phase >= 1 and ctx.prior_depth is not None:
+        agg = S.prior_blend(agg, depth, ctx.prior_depth, cfg)
+    return agg
+
+
+def _propagate_from(state_depth: jax.Array, state_normal: jax.Array,
+                    rays: jax.Array, dy: int, dx: int):
+    """Plane-propagate the hypothesis at (y+dy, x+dx) to (y, x):
+    d = (n_nbr . X_nbr) / (n_nbr . ray)  (ref: InterpolatePixel /
+    DepthMap.cpp:1277-1391 candidate harvesting)."""
+    h, w = state_depth.shape
+    pad = max(abs(dy), abs(dx))
+    dm = jnp.pad(state_depth, pad, mode="edge")
+    nm = jnp.pad(state_normal, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    rm = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    d_n = jax.lax.dynamic_slice(dm, (pad + dy, pad + dx), (h, w))
+    n_n = jax.lax.dynamic_slice(nm, (pad + dy, pad + dx, 0), (h, w, 3))
+    r_n = jax.lax.dynamic_slice(rm, (pad + dy, pad + dx, 0), (h, w, 3))
+    num = jnp.sum(n_n * r_n, axis=-1) * d_n
+    den = jnp.sum(n_n * rays, axis=-1)
+    d_prop = num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+    return d_prop, n_n
+
+
+def _perturb(key: jax.Array, depth: jax.Array, normal: jax.Array,
+             rays: jax.Array, scale: float, cfg: DenseConfig):
+    """Random plane perturbation at one refinement scale
+    (ref: DepthMap.cpp:1441-1501 random assignment ladder)."""
+    kd, k1, k2 = jax.random.split(key, 3)
+    h, w = depth.shape
+    # depth: multiplicative jitter; starts ~8x fRandomDepthRatio, anneals
+    u = jax.random.uniform(kd, (h, w), minval=-1.0, maxval=1.0)
+    d_new = depth * (1.0 + cfg.random_depth_ratio * 8.0 * scale * u)
+    # normal: tilt by two annealed random angles in the tangent frame
+    a1 = jnp.radians(cfg.random_angle1_range) * scale
+    a2 = jnp.radians(cfg.random_angle2_range) * scale
+    t1_ang = jax.random.uniform(k1, (h, w), minval=-a1, maxval=a1)
+    t2_ang = jax.random.uniform(k2, (h, w), minval=-a2, maxval=a2)
+    up = jnp.where(jnp.abs(normal[..., 2:3]) < 0.9,
+                   jnp.broadcast_to(jnp.array([0., 0., 1.]), normal.shape),
+                   jnp.broadcast_to(jnp.array([1., 0., 0.]), normal.shape))
+    t1 = jnp.cross(up, normal)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(normal, t1)
+    n_new = (normal + t1 * jnp.tan(t1_ang)[..., None]
+             + t2 * jnp.tan(t2_ang)[..., None])
+    n_new = n_new / jnp.maximum(jnp.linalg.norm(n_new, axis=-1,
+                                                keepdims=True), 1e-9)
+    return d_new, face_camera(n_new, rays)
+
+
+def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
+               phase: int, parity: int, offsets: np.ndarray,
+               prop_offsets: list) -> PatchMatchState:
+    """One checkerboard phase: pixels with (y+x)%2 == parity update."""
+    h, w = state.depth.shape
+    delta_c2pmax = jnp.max(jnp.abs(
+        jnp.sum(state.normal * ctx.rays, axis=-1) * state.depth))
+    cur_d, cur_n = state.depth, state.normal
+
+    def cost_of(d, n):
+        return compute_cost(ctx, d, n, cur_d, cur_n, delta_c2pmax, cfg,
+                            phase, offsets)
+
+    best_d, best_n = state.depth, state.normal
+    best_c = cost_of(best_d, best_n)
+
+    def consider(best, d_cand, n_cand, valid):
+        bd, bn, bc = best
+        c = jnp.where(valid, cost_of(d_cand, n_cand), jnp.inf)
+        better = c < bc
+        return (jnp.where(better, d_cand, bd),
+                jnp.where(better[..., None], n_cand, bn),
+                jnp.where(better, c, bc))
+
+    best = (best_d, best_n, best_c)
+    for dy, dx in prop_offsets:
+        d_p, n_p = _propagate_from(cur_d, cur_n, ctx.rays, dy, dx)
+        valid = (d_p >= ctx.d_min * 0.8) & (d_p <= ctx.d_max * 1.2)
+        best = consider(best, d_p, n_p, valid)
+
+    key = state.key
+    for r in range(cfg.random_iters):
+        key, sub = jax.random.split(key)
+        scale = 0.5 ** r
+        d_r, n_r = _perturb(sub, best[0], best[1], ctx.rays, scale, cfg)
+        valid = (d_r >= ctx.d_min * 0.8) & (d_r <= ctx.d_max * 1.2)
+        best = consider(best, d_r, n_r, valid)
+
+    bd, bn, bc = best
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    mask = ((yy + xx) % 2) == parity
+    return PatchMatchState(
+        depth=jnp.where(mask, bd, state.depth),
+        normal=jnp.where(mask[..., None], bn, state.normal),
+        cost=jnp.where(mask, bc, state.cost),
+        key=key)
+
+
+@partial(jax.jit, static_argnames=("cfg", "phase", "n_iters"))
+def run_sweeps(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
+               phase: int, n_iters: int) -> PatchMatchState:
+    """``n_iters`` full red/black sweeps at a fixed phase (jitted; the
+    external loop lives in the driver so phases keep static configs)."""
+    offsets = S.patch_offsets(cfg)
+    prop_offsets = propagation_offsets(cfg)
+
+    def one_iter(i, st):
+        st = half_sweep(st, ctx, cfg, phase, 0, offsets, prop_offsets)
+        st = half_sweep(st, ctx, cfg, phase, 1, offsets, prop_offsets)
+        return st
+
+    return jax.lax.fori_loop(0, n_iters, one_iter, state)
+
+
+def make_context(geom: ViewGeometry, ref_gray: jax.Array,
+                 src_grays: jax.Array, d_min: float, d_max: float,
+                 cfg: DenseConfig, flow: Optional[jax.Array] = None,
+                 prior_depth: Optional[jax.Array] = None,
+                 nbr_depth: Optional[jax.Array] = None,
+                 nbr_normal: Optional[jax.Array] = None) -> ScoreContext:
+    from hcmvs_tpu.ops.gradients import sobel_magnitude
+    h, w = ref_gray.shape
+    gra = sobel_magnitude(ref_gray)
+    hw = S.halfwin_map(gra, cfg)
+    offsets = S.patch_offsets(cfg)
+    stats = S.ref_patch_stats(ref_gray, hw, offsets)
+    rays = pixel_rays(geom.K_inv_ref, h, w)
+    return ScoreContext(
+        geom=geom, src_grays=src_grays, stats=stats, hw=hw, rays=rays,
+        gra=gra, d_min=jnp.asarray(d_min, jnp.float32),
+        d_max=jnp.asarray(d_max, jnp.float32), flow=flow,
+        prior_depth=prior_depth, nbr_depth=nbr_depth, nbr_normal=nbr_normal)
+
+
+def estimate_depth_map(key: jax.Array, geom: ViewGeometry,
+                       ref_gray: jax.Array, src_grays: jax.Array,
+                       d_min: float, d_max: float, cfg: DenseConfig,
+                       init: Optional[PatchMatchState] = None,
+                       **ctx_kwargs) -> PatchMatchState:
+    """Single-view estimation driver: the minimum end-to-end slice
+    (ref: DepthMapsData::EstimateDepthMap, SceneDensify.cpp:758-1072).
+
+    Runs ``estimation_iters`` inner sweeps per external iteration; the
+    geometric phase switches on at external iteration ``photo2geo``.
+    Multi-view coupling (neighbor maps, priors, fusion) is orchestrated by
+    the scene-level driver in dense/pipeline.py.
+    """
+    ctx = make_context(geom, ref_gray, src_grays, d_min, d_max, cfg,
+                       **ctx_kwargs)
+    state = init if init is not None else init_state(
+        key, ctx.rays, d_min, d_max)
+    for it_ext in range(cfg.estimation_iters_external):
+        phase = 1 if it_ext >= cfg.photo2geo else 0
+        state = run_sweeps(state, ctx, cfg, phase, cfg.estimation_iters)
+    return state
+
+
+def confidence_from_cost(state: PatchMatchState,
+                         cfg: DenseConfig) -> tuple:
+    """Final thresholding: conf = 1 - cost, invalidate weak matches
+    (ref: EndDepthMapTmp, SceneDensify.cpp:688-744)."""
+    keep = state.cost <= cfg.ncc_threshold_keep
+    depth = jnp.where(keep, state.depth, 0.0)
+    conf = jnp.where(keep, jnp.maximum(1.0 - state.cost, 0.0), 0.0)
+    return depth, state.normal, conf

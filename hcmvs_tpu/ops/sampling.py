@@ -1,0 +1,73 @@
+"""Bilinear image sampling (gather-based).
+
+The TPU analog of the reference's ``TImage::sample()`` bilinear taps
+(ref: frame_main/libs/Common/Types.inl) used throughout patch scoring and
+cross-view lookups.  XLA lowers the gathers to dynamic-slice loads; the
+Pallas patch-score kernel has its own fused variant for the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jax.Array, uv: jax.Array,
+                    oob_value: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Sample ``img`` at continuous pixel coords ``uv``.
+
+    Args:
+      img: (H, W) or (H, W, C) image.
+      uv: (..., 2) coordinates, uv[..., 0] = x (column), uv[..., 1] = y (row).
+      oob_value: value returned outside the image.
+
+    Returns:
+      (values, valid): values has shape (...,) or (..., C); valid is a
+      boolean mask of in-bounds samples.
+    """
+    h, w = img.shape[:2]
+    x = uv[..., 0]
+    y = uv[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+
+    v00 = img[y0c, x0c]
+    v01 = img[y0c, x0c + 1]
+    v10 = img[y0c + 1, x0c]
+    v11 = img[y0c + 1, x0c + 1]
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = top * (1 - fy) + bot * fy
+    if img.ndim == 3:
+        out = jnp.where(valid[..., None], out, oob_value)
+    else:
+        out = jnp.where(valid, out, oob_value)
+    return out, valid
+
+
+def nearest_sample(img: jax.Array, uv: jax.Array,
+                   oob_value: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Nearest-neighbor variant (used for label/segment maps)."""
+    h, w = img.shape[:2]
+    x = jnp.round(uv[..., 0]).astype(jnp.int32)
+    y = jnp.round(uv[..., 1]).astype(jnp.int32)
+    valid = (x >= 0) & (y >= 0) & (x < w) & (y < h)
+    out = img[jnp.clip(y, 0, h - 1), jnp.clip(x, 0, w - 1)]
+    if img.ndim == 3:
+        out = jnp.where(valid[..., None], out, oob_value)
+    else:
+        out = jnp.where(valid, out, oob_value)
+    return out, valid
