@@ -1,0 +1,246 @@
+"""Cross-view depth filtering, gap interpolation, and point-cloud fusion.
+
+TPU-first re-design of the reference's multi-view fusion stack:
+- ``cross_view_filter`` — the consistency vote + fused-map computation the
+  reference hides inside the hijacked RemoveSmallSegments
+  (ref: frame_main/libs/MVS/SceneDensify.cpp:1953-2276) and FilterDepthMap
+  (:3006-3259).
+- ``gap_interpolate`` — row/column gap fill
+  (ref: SceneDensify.cpp:2280-3001 GapInterpolation).
+- ``fuse_point_cloud`` — depth maps -> world point cloud with per-point
+  view support, weights, colors, normals
+  (ref: SceneDensify.cpp:3265-3495 FuseDepthMaps, Conf2Weight :154-156).
+
+The reference fuses sequentially, claiming pixels through a mutable
+index map (first-processed image wins).  Here every view computes in
+parallel and a deterministic ownership rule replaces the mutation: a pixel
+emits its point only if no higher-priority view agrees with it (the
+higher-priority view emits the merged point instead).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.core.camera import Camera, jnp_einsum
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.dense.types import pixel_rays
+from hcmvs_tpu.ops.sampling import bilinear_sample, nearest_sample
+
+
+def conf_to_weight(conf: jax.Array, depth: jax.Array) -> jax.Array:
+    """ref: SceneDensify.cpp:154-156."""
+    return 1.0 / (jnp.maximum(1.0 - conf, 0.03)
+                  * jnp.maximum(depth, 1e-6) ** 2)
+
+
+def _project_into(cam_j: Camera, X_w: jax.Array):
+    """World points (H, W, 3) -> (uv (H, W, 2), z (H, W)) in view j."""
+    Xc = cam_j.world_to_cam(X_w)
+    p = jnp_einsum("ij,hwj->hwi", cam_j.K, Xc)
+    z = p[..., 2]
+    uv = p[..., :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)[..., None]
+    return uv, z
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cross_view_filter(depths: jax.Array, normals: jax.Array,
+                      confs: jax.Array, cams: Camera, nbr_idx: jax.Array,
+                      nbr_valid: jax.Array, cfg: DenseConfig
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Consistency filter + fused depth across views.
+
+    Args: depths (N, H, W); normals (N, H, W, 3) camera-space; confs
+    (N, H, W); cams batched Camera (N); nbr_idx/nbr_valid (N, V).
+
+    Returns (filtered_depth, fused_depth, support): depths with
+    insufficient cross-view support zeroed; the support-weighted average
+    depth (the analog of depthMap_fuse); and the supporting-view count.
+    """
+    n, h, w = depths.shape
+    rays = jax.vmap(lambda c: pixel_rays(c.K_inv, h, w))(cams)
+
+    def per_view(i):
+        cam_i = jax.tree.map(lambda x: x[i], cams)
+        depth_i = depths[i]
+        X_w = cam_i.cam_to_world(rays[i] * depth_i[..., None])
+        acc_d = depth_i * conf_to_weight(confs[i], depth_i)
+        acc_w = conf_to_weight(confs[i], depth_i)
+        support = jnp.zeros((h, w), jnp.int32)
+
+        def body(k, carry):
+            acc_d, acc_w, support = carry
+            j = nbr_idx[i, k]
+            cam_j = jax.tree.map(lambda x: x[j], cams)
+            uv_j, z_j = _project_into(cam_j, X_w)
+            d_j, ok = bilinear_sample(depths[j], uv_j)
+            c_j, _ = bilinear_sample(confs[j], uv_j)
+            agree = (ok & (d_j > 0) & (z_j > 0)
+                     & (jnp.abs(z_j - d_j)
+                        < cfg.depth_diff_threshold * cfg.depth_weight * d_j))
+            agree = agree & nbr_valid[i, k]
+            # neighbor's own depth re-expressed in view i (for the fused map)
+            scale = d_j / jnp.where(z_j <= 0, 1e9, z_j)
+            w_j = conf_to_weight(c_j, d_j) * agree
+            return (acc_d + depth_i * scale * w_j, acc_w + w_j,
+                    support + agree.astype(jnp.int32))
+
+        acc_d, acc_w, support = jax.lax.fori_loop(
+            0, nbr_idx.shape[1], body, (acc_d, acc_w, support))
+        fused = jnp.where(depth_i > 0, acc_d / jnp.maximum(acc_w, 1e-12), 0.)
+        keep = (support + 1 >= cfg.min_views_filter) & (depth_i > 0)
+        return jnp.where(keep, depth_i, 0.0), fused, support
+
+    idx = jnp.arange(n)
+    filt, fused, support = jax.lax.map(per_view, idx)
+    return filt, fused, support
+
+
+def _gap_fill_1d(depth_row: jax.Array, conf_row: jax.Array, gap: int,
+                 thr: float) -> Tuple[jax.Array, jax.Array]:
+    """Fill invalid runs up to ``gap`` pixels between similar valid depths
+    by linear interpolation (one row; vmapped over rows/columns)."""
+    w = depth_row.shape[0]
+    idx = jnp.arange(w, dtype=jnp.float32)
+    valid = depth_row > 0
+
+    def scan_dir(xs, reverse):
+        def step(carry, x):
+            last_i, last_d, last_c = carry
+            i, d, c, v = x
+            new = (jnp.where(v, i, last_i), jnp.where(v, d, last_d),
+                   jnp.where(v, c, last_c))
+            return new, new
+        init = (jnp.float32(-1e9) if not reverse else jnp.float32(1e9),
+                jnp.float32(0.0), jnp.float32(0.0))
+        _, out = jax.lax.scan(step, init, xs, reverse=reverse)
+        return out
+
+    xs = (idx, depth_row, conf_row, valid)
+    li, ld, lc = scan_dir(xs, False)     # nearest valid on the left (incl self)
+    ri, rd, rc = scan_dir(xs, True)      # nearest valid on the right
+    span = ri - li
+    similar = jnp.abs(ld - rd) < thr * jnp.maximum(ld, rd)
+    fill = (~valid) & (span <= gap + 1) & (ld > 0) & (rd > 0) & similar
+    t = (idx - li) / jnp.where(span == 0, 1.0, span)
+    d_interp = ld * (1 - t) + rd * t
+    c_interp = jnp.minimum(lc, rc)
+    return (jnp.where(fill, d_interp, depth_row),
+            jnp.where(fill, c_interp, conf_row))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gap_interpolate(depth: jax.Array, conf: jax.Array,
+                    cfg: DenseConfig) -> Tuple[jax.Array, jax.Array]:
+    """Row then column gap interpolation on one (H, W) depth map
+    (ref: GapInterpolation SceneDensify.cpp:2295-2785; the
+    gradient-guided re-propagation phase is handled by re-running
+    PatchMatch sweeps on the filled maps)."""
+    gap = cfg.ipol_gap_size
+    thr = cfg.depth_diff_threshold * 2.0
+    d, c = jax.vmap(_gap_fill_1d, in_axes=(0, 0, None, None))(
+        depth, conf, gap, thr)
+    d, c = jax.vmap(_gap_fill_1d, in_axes=(1, 1, None, None),
+                    out_axes=1)(d, c, gap, thr)
+    return d, c
+
+
+@partial(jax.jit, static_argnames=("cfg", "with_colors"))
+def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
+                     confs: jax.Array, cams: Camera, nbr_idx: jax.Array,
+                     nbr_valid: jax.Array, priority: jax.Array,
+                     cfg: DenseConfig,
+                     colors: Optional[jax.Array] = None,
+                     with_colors: bool = False):
+    """Fuse per-view depth maps into a world point cloud.
+
+    Args:
+      depths/normals/confs: (N, H, W[, 3]) per-view maps (camera-space
+        normals); colors (N, H, W, 3) optional.
+      priority: (N,) smaller = higher priority (the reference processes
+        best-connected images first; SceneDensify.cpp:3290-3302).
+
+    Returns dict of (N, H, W, ...) arrays + ``keep`` mask; compact with
+    ``compact_point_cloud`` on host.
+    """
+    n, h, w = depths.shape
+    nrm_err = float(np.cos(np.radians(cfg.normal_diff_threshold
+                                      * cfg.normal_weight)))
+
+    rays = jax.vmap(lambda c: pixel_rays(c.K_inv, h, w))(cams)
+
+    def per_view(i):
+        cam_i = jax.tree.map(lambda x: x[i], cams)
+        depth_i = depths[i]
+        valid = depth_i > 0
+        X_w = cam_i.cam_to_world(rays[i] * depth_i[..., None])
+        n_w = jnp_einsum("ji,hwj->hwi", cam_i.R, normals[i])
+        w_i = conf_to_weight(confs[i], depth_i)
+        accX = X_w * w_i[..., None]
+        accN = n_w * w_i[..., None]
+        accC = (colors[i] * w_i[..., None] if with_colors
+                else jnp.zeros((h, w, 3)))
+        accW = w_i
+        count = jnp.ones((h, w), jnp.int32)
+        owned = jnp.zeros((h, w), bool)
+
+        def body(k, carry):
+            accX, accN, accC, accW, count, owned = carry
+            j = nbr_idx[i, k]
+            cam_j = jax.tree.map(lambda x: x[j], cams)
+            uv_j, z_j = _project_into(cam_j, X_w)
+            d_j, ok = nearest_sample(depths[j], uv_j)
+            c_j, _ = nearest_sample(confs[j], uv_j)
+            n_j, _ = nearest_sample(normals[j], uv_j)
+            n_jw = jnp_einsum("ji,hwj->hwi", cam_j.R, n_j)
+            agree = (ok & (d_j > 0) & (z_j > 0) & nbr_valid[i, k]
+                     & (jnp.abs(z_j - d_j)
+                        < cfg.depth_diff_threshold * cfg.depth_weight * d_j)
+                     & (jnp.sum(n_w * n_jw, axis=-1) > nrm_err))
+            ray_j = jnp_einsum("ij,hwj->hwi", cam_j.K_inv,
+                               jnp.concatenate(
+                                   [uv_j, jnp.ones((h, w, 1))], axis=-1))
+            X_j = cam_j.cam_to_world(ray_j * d_j[..., None])
+            w_j = conf_to_weight(c_j, d_j) * agree
+            accX = accX + X_j * w_j[..., None]
+            accN = accN + n_jw * w_j[..., None]
+            if with_colors:
+                col_j, _ = nearest_sample(colors[j], uv_j)
+                accC = accC + col_j * w_j[..., None]
+            accW = accW + w_j
+            count = count + agree.astype(jnp.int32)
+            owned = owned | (agree & (priority[j] < priority[i]))
+            return accX, accN, accC, accW, count, owned
+
+        accX, accN, accC, accW, count, owned = jax.lax.fori_loop(
+            0, nbr_idx.shape[1], body,
+            (accX, accN, accC, accW, count, owned))
+        keep = valid & (~owned) & (count >= cfg.min_views_fuse)
+        inv_w = 1.0 / jnp.maximum(accW, 1e-12)
+        pts = accX * inv_w[..., None]
+        nrm = accN * inv_w[..., None]
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                                1e-12)
+        col = accC * inv_w[..., None]
+        return pts, nrm, col, accW, count, keep
+
+    pts, nrm, col, wts, count, keep = jax.lax.map(per_view, jnp.arange(n))
+    return {"points": pts, "normals": nrm, "colors": col, "weights": wts,
+            "support": count, "keep": keep}
+
+
+def compact_point_cloud(fused: dict) -> dict:
+    """Host-side compaction of the fused (N, H, W, ...) arrays."""
+    keep = np.asarray(fused["keep"]).reshape(-1)
+    out = {}
+    for name in ("points", "normals", "colors"):
+        arr = np.asarray(fused[name])
+        out[name] = arr.reshape(-1, arr.shape[-1])[keep]
+    for name in ("weights", "support"):
+        out[name] = np.asarray(fused[name]).reshape(-1)[keep]
+    return out

@@ -1,0 +1,223 @@
+"""Scene-level dense reconstruction driver.
+
+The TPU-native analog of Scene::DenseReconstruction / ComputeDepthMaps
+(ref: frame_main/libs/MVS/SceneDensify.cpp:3532-3821) and its event-queue
+worker model (:3831-4006): instead of two pthreads pipelining per-image
+estimation, *all* reference views are estimated simultaneously as one
+batched program (vmap over the view axis, shardable over a device mesh),
+and the external iteration loop exchanges neighbor depth maps between
+phases — the functional replacement for the reference's racy cross-view
+reads (SURVEY §5.2) and for the filesystem-based stage handoff.
+
+Schedule (mirroring SceneDensify.cpp:3684-3713, :3914-3958):
+  for it_ext in range(estimation_iters_external):
+      phase = geometric if it_ext >= photo2geo else photometric
+      neighbor maps <- snapshot of all views' current state
+      run `estimation_iters` red/black sweeps on every view
+      if it_ext in {1, 2} and cfg.optimize: cross-view filter + gap fill
+  final: confidence threshold (EndDepthMapTmp analog)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.core.camera import Camera
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.dense import score as S
+from hcmvs_tpu.dense.fusion import cross_view_filter, gap_interpolate
+from hcmvs_tpu.dense.patchmatch import (ScoreContext, half_sweep,
+                                        propagation_offsets)
+from hcmvs_tpu.dense.types import (PatchMatchState, init_state,
+                                   make_view_geometry, pixel_rays,
+                                   random_normals)
+from hcmvs_tpu.ops.gradients import sobel_magnitude
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneTensors:
+    """Batched device-side scene: everything static across sweeps."""
+
+    gray: jax.Array        # (N, H, W)
+    cams: Camera           # batched (N)
+    nbr_idx: jax.Array     # (N, V) neighbor image indices
+    nbr_valid: jax.Array   # (N, V)
+    d_min: jax.Array       # (N,)
+    d_max: jax.Array       # (N,)
+    seed_depth: Optional[jax.Array] = None   # (N, H, W) sparse-splat init
+    flows: Optional[jax.Array] = None        # (N, H, W, 2) ref->best nbr
+    prior_depth: Optional[jax.Array] = None  # (N, H, W)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneState:
+    depth: jax.Array    # (N, H, W)
+    normal: jax.Array   # (N, H, W, 3)
+    cost: jax.Array     # (N, H, W)
+    keys: jax.Array     # (N, 2) PRNG keys
+
+
+def _per_view_context(scene: SceneTensors, i: jax.Array,
+                      nbr_depth: Optional[jax.Array],
+                      nbr_normal: Optional[jax.Array],
+                      cfg: DenseConfig) -> ScoreContext:
+    """Build the ScoreContext of view ``i`` (traced index)."""
+    cam_i = jax.tree.map(lambda x: x[i], scene.cams)
+    cams_nbr = jax.tree.map(lambda x: x[scene.nbr_idx[i]], scene.cams)
+    geom = make_view_geometry(cam_i, cams_nbr)
+    h, w = scene.gray.shape[1:]
+    gra = sobel_magnitude(scene.gray[i])
+    hw = S.halfwin_map(gra, cfg)
+    offsets = S.patch_offsets(cfg)
+    stats = S.ref_patch_stats(scene.gray[i], hw, offsets)
+    rays = pixel_rays(geom.K_inv_ref, h, w)
+    return ScoreContext(
+        geom=geom, src_grays=scene.gray[scene.nbr_idx[i]], stats=stats,
+        hw=hw, rays=rays, gra=gra, d_min=scene.d_min[i],
+        d_max=scene.d_max[i],
+        flow=None if scene.flows is None else scene.flows[i],
+        prior_depth=(None if scene.prior_depth is None
+                     else scene.prior_depth[i]),
+        nbr_depth=nbr_depth, nbr_normal=nbr_normal)
+
+
+@partial(jax.jit, static_argnames=("cfg", "phase", "n_iters", "use_nbr"))
+def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
+                 phase: int, n_iters: int, use_nbr: bool) -> SceneState:
+    """``n_iters`` red/black sweeps on every view, batched.
+
+    Neighbor depth/normal snapshots are taken once at entry (double
+    buffering at external-iteration granularity).
+    """
+    offsets = S.patch_offsets(cfg)
+    prop_offsets = propagation_offsets(cfg)
+    # snapshot for cross-view reads: frozen for the whole call
+    depth0, normal0 = state.depth, state.normal
+
+    def per_view(i, st_leaves):
+        st = PatchMatchState(depth=st_leaves[0], normal=st_leaves[1],
+                             cost=st_leaves[2], key=st_leaves[3])
+        if use_nbr:
+            nbr_depth = depth0[scene.nbr_idx[i]]
+            nbr_normal = normal0[scene.nbr_idx[i]]
+        else:
+            nbr_depth = nbr_normal = None
+        ctx = _per_view_context(scene, i, nbr_depth, nbr_normal, cfg)
+
+        def one_iter(_, s):
+            s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets)
+            s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets)
+            return s
+
+        st = jax.lax.fori_loop(0, n_iters, one_iter, st)
+        return st.depth, st.normal, st.cost, st.key
+
+    idx = jnp.arange(state.depth.shape[0])
+    d, n, c, k = jax.vmap(per_view)(
+        idx, (state.depth, state.normal, state.cost, state.keys))
+    return SceneState(depth=d, normal=n, cost=c, keys=k)
+
+
+def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
+    """Random init, optionally seeded by splatted sparse depths
+    (ref: InitDepthMap triangulation / read-init, SceneDensify.cpp:514-578;
+    the full Delaunay interpolation lives in dense/init_tri.py)."""
+    n, h, w = scene.gray.shape
+    keys = jax.random.split(key, n)
+
+    def per_view(i, k):
+        cam_i = jax.tree.map(lambda x: x[i], scene.cams)
+        rays = pixel_rays(cam_i.K_inv, h, w)
+        st = init_state(k, rays, scene.d_min[i], scene.d_max[i])
+        if scene.seed_depth is not None:
+            seed = scene.seed_depth[i]
+            st = PatchMatchState(
+                depth=jnp.where(seed > 0, seed, st.depth),
+                normal=st.normal, cost=st.cost, key=st.key)
+        return st
+
+    sts = jax.vmap(per_view)(jnp.arange(n), keys)
+    return SceneState(depth=sts.depth, normal=sts.normal, cost=sts.cost,
+                      keys=sts.key)
+
+
+def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
+                   verbose: bool = False) -> SceneState:
+    """Full multi-view estimation with the HC-MVS external schedule."""
+    state = init_scene_state(key, scene)
+    for it_ext in range(cfg.estimation_iters_external):
+        phase = 1 if it_ext >= cfg.photo2geo else 0
+        use_nbr = phase >= 1
+        state = scene_sweeps(state, scene, cfg, phase, cfg.estimation_iters,
+                             use_nbr)
+        if cfg.optimize and it_ext in (1, 2):
+            state = optimize_maps(state, scene, cfg)
+        if verbose:
+            print(f"[dense] it_ext={it_ext} phase={phase} "
+                  f"mean_cost={float(jnp.mean(state.cost)):.4f}")
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_maps(state: SceneState, scene: SceneTensors,
+                  cfg: DenseConfig) -> SceneState:
+    """Mid-pipeline filter: cross-view consistency + gap interpolation
+    (ref: EVT_OPTIMIZEDEPTHMAP at it_ext in {1,2},
+    SceneDensify.cpp:3929-3958)."""
+    conf = jnp.maximum(1.0 - state.cost, 0.01)
+    filt, fused, support = cross_view_filter(
+        state.depth, state.normal, conf, scene.cams, scene.nbr_idx,
+        scene.nbr_valid, cfg)
+    # use the fused depth where supported, fill small gaps
+    depth = jnp.where(filt > 0, fused, 0.0)
+    depth, conf2 = jax.vmap(lambda d, c: gap_interpolate(d, c, cfg))(
+        depth, conf)
+    # re-validated pixels keep their old normals; unfilled invalid pixels
+    # fall back to the pre-filter hypothesis so PatchMatch can re-score it
+    depth = jnp.where(depth > 0, depth, state.depth)
+    return SceneState(depth=depth, normal=state.normal, cost=state.cost,
+                      keys=state.keys)
+
+
+def finalize(state: SceneState, cfg: DenseConfig
+             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Threshold on the final cost (ref: EndDepthMapTmp,
+    SceneDensify.cpp:688-744): returns (depth, normal, conf)."""
+    keep = state.cost <= cfg.ncc_threshold_keep
+    depth = jnp.where(keep, state.depth, 0.0)
+    conf = jnp.where(keep, jnp.maximum(1.0 - state.cost, 0.0), 0.0)
+    return depth, state.normal, conf
+
+
+def splat_sparse_depths(points: np.ndarray, view_counts: np.ndarray,
+                        view_ids: np.ndarray, cams_np: list,
+                        n_images: int, h: int, w: int,
+                        radius: int = 1) -> np.ndarray:
+    """Host-side: project sparse points into each view and splat their
+    depths into (N, H, W) seed maps (0 elsewhere)."""
+    seed = np.zeros((n_images, h, w), np.float32)
+    offsets = np.concatenate([[0], np.cumsum(view_counts)])
+    for p in range(len(points)):
+        ids = view_ids[offsets[p]:offsets[p + 1]]
+        for i in ids:
+            K, R, C = cams_np[i]
+            Xc = R @ (points[p] - C)
+            if Xc[2] <= 0:
+                continue
+            uv = K @ Xc
+            x = int(round(uv[0] / uv[2]))
+            y = int(round(uv[1] / uv[2]))
+            if 0 <= x < w and 0 <= y < h:
+                y0, y1 = max(0, y - radius), min(h, y + radius + 1)
+                x0, x1 = max(0, x - radius), min(w, x + radius + 1)
+                region = seed[i, y0:y1, x0:x1]
+                region[region == 0] = Xc[2]
+    return seed

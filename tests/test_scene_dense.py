@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcmvs_tpu.core.camera import Camera
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.dense.fusion import (compact_point_cloud, cross_view_filter,
+                                    fuse_point_cloud, gap_interpolate)
+from hcmvs_tpu.dense.scene_driver import (SceneTensors, estimate_scene,
+                                          finalize, init_scene_state)
+from hcmvs_tpu.dense.view_selection import (depth_range_from_points,
+                                            pair_scores, select_neighbors)
+
+from synthetic import make_plane_scene
+
+CFG = DenseConfig(
+    adapt_half_window=5, patch_half_window=3, patch_step=2,
+    estimation_iters=2, estimation_iters_external=3, photo2geo=1,
+    random_iters=3, use_optical_flow=0, use_geo_consistency=1,
+    use_part_consistency=0, optimize=0, min_views_fuse=2)
+
+
+def _scene_tensors(sc, num_views=2):
+    n = len(sc.cameras)
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    # every view neighbors every other (tiny scenes)
+    nbr_idx = np.zeros((n, num_views), np.int32)
+    nbr_valid = np.ones((n, num_views), bool)
+    for i in range(n):
+        others = [j for j in range(n) if j != i][:num_views]
+        nbr_idx[i, :len(others)] = others
+        nbr_valid[i, len(others):] = False
+    gray = jnp.stack([jnp.asarray(im) for im in sc.images])
+    d_min = jnp.full((n,), sc.d_min, jnp.float32)
+    d_max = jnp.full((n,), sc.d_max, jnp.float32)
+    return SceneTensors(gray=gray, cams=cams, nbr_idx=jnp.asarray(nbr_idx),
+                        nbr_valid=jnp.asarray(nbr_valid), d_min=d_min,
+                        d_max=d_max)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_plane_scene(np.random.default_rng(5), h=48, w=64, n_views=3)
+
+
+@pytest.fixture(scope="module")
+def est(scene):
+    tensors = _scene_tensors(scene)
+    state = estimate_scene(jax.random.PRNGKey(1), tensors, CFG)
+    return tensors, state
+
+
+def test_scene_estimation_all_views(scene, est):
+    tensors, state = est
+    depth, normal, conf = finalize(state, CFG)
+    d = np.asarray(depth)
+    interior = np.zeros(d.shape[1:], bool)
+    interior[6:-6, 6:-6] = True
+    # ref view must match GT
+    rel = np.abs(d[0] - scene.depth_gt) / scene.depth_gt
+    valid = (d[0] > 0) & interior
+    assert valid.sum() > 0.8 * interior.sum()
+    assert np.median(rel[valid]) < 0.01
+    # every view produced a dense result
+    for i in range(d.shape[0]):
+        assert (d[i][interior] > 0).mean() > 0.7
+
+
+def test_fusion_to_point_cloud(scene, est):
+    tensors, state = est
+    depth, normal, conf = finalize(state, CFG)
+    # trim unconstrained borders (the full pipeline's filters handle these)
+    border = np.zeros(depth.shape[1:], np.float32)
+    border[6:-6, 6:-6] = 1.0
+    depth = depth * border[None]
+    priority = jnp.arange(depth.shape[0], dtype=jnp.float32)
+    fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
+                             tensors.nbr_idx, tensors.nbr_valid, priority,
+                             CFG)
+    cloud = compact_point_cloud(fused)
+    pts = cloud["points"]
+    assert len(pts) > 500
+    # all fused points must lie on the GT world plane n.X = c
+    dist = np.abs(pts @ scene.n_w - scene.c_w)
+    assert np.median(dist) < 0.01
+    assert np.quantile(dist, 0.9) < 0.05
+    # support counts: fused points are seen by >= min_views_fuse views
+    assert (cloud["support"] >= CFG.min_views_fuse).all()
+    # dedup: fused cloud should be substantially smaller than the sum of
+    # valid pixels (ownership rule collapses multi-view duplicates)
+    n_valid = int((np.asarray(depth) > 0).sum())
+    assert len(pts) < 0.8 * n_valid
+
+
+def test_cross_view_filter_kills_outliers(scene, est):
+    tensors, state = est
+    depth, normal, conf = finalize(state, CFG)
+    # corrupt a block of the ref view with bogus depths
+    d_corrupt = np.asarray(depth).copy()
+    d_corrupt[0, 10:20, 10:20] *= 2.0
+    filt, fused, support = cross_view_filter(
+        jnp.asarray(d_corrupt), normal, conf, tensors.cams,
+        tensors.nbr_idx, tensors.nbr_valid, CFG)
+    blk = np.asarray(filt)[0, 10:20, 10:20]
+    assert (blk == 0).mean() > 0.9   # outlier block rejected
+    good = np.asarray(filt)[0, 30:40, 30:40]
+    assert (good > 0).mean() > 0.8   # consistent region survives
+
+
+def test_gap_interpolate():
+    cfg = DenseConfig(ipol_gap_size=7)
+    depth = np.full((24, 32), 5.0, np.float32)
+    conf = np.full((24, 32), 0.9, np.float32)
+    depth[2, 10:14] = 0.0            # small gap -> filled
+    depth[8:20, 5:25] = 0.0          # big 2D hole -> left open
+    d2, c2 = gap_interpolate(jnp.asarray(depth), jnp.asarray(conf), cfg)
+    d2 = np.asarray(d2)
+    assert (d2[2, 10:14] > 0).all()
+    np.testing.assert_allclose(d2[2, 10:14], 5.0, rtol=1e-5)
+    assert (d2[12:16, 12:18] == 0).all()
+
+
+def test_view_selection(scene):
+    rng = np.random.default_rng(0)
+    # synth sparse points on the GT plane, visible in all 3 views
+    n_pts = 40
+    xy = rng.uniform(-0.5, 0.5, (n_pts, 2))
+    z = (scene.c_w - xy @ scene.n_w[:2]) / scene.n_w[2]
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    counts = np.full(n_pts, 3, np.int32)
+    ids = np.tile(np.arange(3, dtype=np.uint32), n_pts)
+    centers = np.stack([np.asarray(c.C) for c in scene.cameras])
+    score = pair_scores(pts, counts, ids, centers, 3)
+    assert (score > 0).sum() >= 6    # all pairs covisible
+    nbr_idx, nbr_valid = select_neighbors(score, 2)
+    assert nbr_valid.all()
+    for i in range(3):
+        assert i not in nbr_idx[i]
+    R = np.eye(3)
+    C = np.zeros(3)
+    d_min, d_max = depth_range_from_points(pts, counts, ids, R, C, 0)
+    assert 0 < d_min < z.min() + 0.1
+    assert d_max > z.max() - 0.1
