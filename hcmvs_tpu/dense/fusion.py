@@ -16,6 +16,9 @@ index map (first-processed image wins).  Here every view computes in
 parallel and a deterministic ownership rule replaces the mutation: a pixel
 emits its point only if no higher-priority view agrees with it (the
 higher-priority view emits the merged point instead).
+
+Layout: all per-pixel 3-vector fields are planes-first (3, H, W); normals
+come in as (N, 3, H, W) — see dense/types.py LAYOUT RULE.
 """
 
 from __future__ import annotations
@@ -27,10 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hcmvs_tpu.core.camera import Camera, jnp_einsum
+from hcmvs_tpu.core.camera import Camera
 from hcmvs_tpu.core.config import DenseConfig
-from hcmvs_tpu.dense.types import pixel_rays
-from hcmvs_tpu.ops.sampling import bilinear_sample, nearest_sample
+from hcmvs_tpu.dense.types import (dot3, mat3_apply, mat3_apply_t,
+                                   normalize3, pixel_rays)
+from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 
 def conf_to_weight(conf: jax.Array, depth: jax.Array) -> jax.Array:
@@ -39,13 +43,23 @@ def conf_to_weight(conf: jax.Array, depth: jax.Array) -> jax.Array:
                   * jnp.maximum(depth, 1e-6) ** 2)
 
 
-def _project_into(cam_j: Camera, X_w: jax.Array):
-    """World points (H, W, 3) -> (uv (H, W, 2), z (H, W)) in view j."""
-    Xc = cam_j.world_to_cam(X_w)
-    p = jnp_einsum("ij,hwj->hwi", cam_j.K, Xc)
-    z = p[..., 2]
-    uv = p[..., :2] / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)[..., None]
-    return uv, z
+def _cam_to_world(cam: Camera, Xc):
+    Xw = mat3_apply_t(cam.R, Xc)
+    return (Xw[0] + cam.C[0], Xw[1] + cam.C[1], Xw[2] + cam.C[2])
+
+
+def _world_to_cam(cam: Camera, Xw):
+    return mat3_apply(cam.R, (Xw[0] - cam.C[0], Xw[1] - cam.C[1],
+                              Xw[2] - cam.C[2]))
+
+
+def _project(cam: Camera, Xw):
+    """World planes -> (u, v, z) planes in the camera."""
+    Xc = _world_to_cam(cam, Xw)
+    p = mat3_apply(cam.K, Xc)
+    z = p[2]
+    inv_z = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    return p[0] * inv_z, p[1] * inv_z, z
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -55,8 +69,8 @@ def cross_view_filter(depths: jax.Array, normals: jax.Array,
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Consistency filter + fused depth across views.
 
-    Args: depths (N, H, W); normals (N, H, W, 3) camera-space; confs
-    (N, H, W); cams batched Camera (N); nbr_idx/nbr_valid (N, V).
+    Args: depths (N, H, W); normals (N, 3, H, W); confs (N, H, W); cams
+    batched Camera (N); nbr_idx/nbr_valid (N, V).
 
     Returns (filtered_depth, fused_depth, support): depths with
     insufficient cross-view support zeroed; the support-weighted average
@@ -68,18 +82,21 @@ def cross_view_filter(depths: jax.Array, normals: jax.Array,
     def per_view(i):
         cam_i = jax.tree.map(lambda x: x[i], cams)
         depth_i = depths[i]
-        X_w = cam_i.cam_to_world(rays[i] * depth_i[..., None])
-        acc_d = depth_i * conf_to_weight(confs[i], depth_i)
-        acc_w = conf_to_weight(confs[i], depth_i)
+        r = rays[i]
+        X_w = _cam_to_world(cam_i, (r[0] * depth_i, r[1] * depth_i,
+                                    r[2] * depth_i))
+        w0 = conf_to_weight(confs[i], depth_i)
+        acc_d = depth_i * w0
+        acc_w = w0
         support = jnp.zeros((h, w), jnp.int32)
 
         def body(k, carry):
             acc_d, acc_w, support = carry
             j = nbr_idx[i, k]
             cam_j = jax.tree.map(lambda x: x[j], cams)
-            uv_j, z_j = _project_into(cam_j, X_w)
-            d_j, ok = bilinear_sample(depths[j], uv_j)
-            c_j, _ = bilinear_sample(confs[j], uv_j)
+            u_j, v_j, z_j = _project(cam_j, X_w)
+            d_j, ok = bilinear_sample_xy(depths[j], u_j, v_j)
+            c_j, _ = bilinear_sample_xy(confs[j], u_j, v_j)
             agree = (ok & (d_j > 0) & (z_j > 0)
                      & (jnp.abs(z_j - d_j)
                         < cfg.depth_diff_threshold * cfg.depth_weight * d_j))
@@ -160,13 +177,13 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
     """Fuse per-view depth maps into a world point cloud.
 
     Args:
-      depths/normals/confs: (N, H, W[, 3]) per-view maps (camera-space
-        normals); colors (N, H, W, 3) optional.
+      depths (N, H, W); normals (N, 3, H, W) camera-space; confs
+        (N, H, W); colors (N, H, W, 3) optional.
       priority: (N,) smaller = higher priority (the reference processes
         best-connected images first; SceneDensify.cpp:3290-3302).
 
-    Returns dict of (N, H, W, ...) arrays + ``keep`` mask; compact with
-    ``compact_point_cloud`` on host.
+    Returns dict of per-pixel arrays + ``keep`` mask; compact with
+    ``compact_point_cloud`` on host.  Points are (N, 3, H, W) planes.
     """
     n, h, w = depths.shape
     nrm_err = float(np.cos(np.radians(cfg.normal_diff_threshold
@@ -178,13 +195,17 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
         cam_i = jax.tree.map(lambda x: x[i], cams)
         depth_i = depths[i]
         valid = depth_i > 0
-        X_w = cam_i.cam_to_world(rays[i] * depth_i[..., None])
-        n_w = jnp_einsum("ji,hwj->hwi", cam_i.R, normals[i])
+        r = rays[i]
+        X_w = _cam_to_world(cam_i, (r[0] * depth_i, r[1] * depth_i,
+                                    r[2] * depth_i))
+        n_i = normals[i]
+        n_w = mat3_apply_t(cam_i.R, (n_i[0], n_i[1], n_i[2]))
         w_i = conf_to_weight(confs[i], depth_i)
-        accX = X_w * w_i[..., None]
-        accN = n_w * w_i[..., None]
-        accC = (colors[i] * w_i[..., None] if with_colors
-                else jnp.zeros((h, w, 3)))
+        accX = tuple(X_w[c] * w_i for c in range(3))
+        accN = tuple(n_w[c] * w_i for c in range(3))
+        accC = (tuple(colors[i][..., c] * w_i for c in range(3))
+                if with_colors else
+                (jnp.zeros((h, w)),) * 3)
         accW = w_i
         count = jnp.ones((h, w), jnp.int32)
         owned = jnp.zeros((h, w), bool)
@@ -193,25 +214,31 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
             accX, accN, accC, accW, count, owned = carry
             j = nbr_idx[i, k]
             cam_j = jax.tree.map(lambda x: x[j], cams)
-            uv_j, z_j = _project_into(cam_j, X_w)
-            d_j, ok = nearest_sample(depths[j], uv_j)
-            c_j, _ = nearest_sample(confs[j], uv_j)
-            n_j, _ = nearest_sample(normals[j], uv_j)
-            n_jw = jnp_einsum("ji,hwj->hwi", cam_j.R, n_j)
+            u_j, v_j, z_j = _project(cam_j, X_w)
+            d_j, ok = bilinear_sample_xy(depths[j],
+                                         jnp.round(u_j), jnp.round(v_j))
+            c_j, _ = bilinear_sample_xy(confs[j], jnp.round(u_j),
+                                        jnp.round(v_j))
+            n_j = tuple(bilinear_sample_xy(normals[j][c], jnp.round(u_j),
+                                           jnp.round(v_j))[0]
+                        for c in range(3))
+            n_jw = mat3_apply_t(cam_j.R, n_j)
             agree = (ok & (d_j > 0) & (z_j > 0) & nbr_valid[i, k]
                      & (jnp.abs(z_j - d_j)
                         < cfg.depth_diff_threshold * cfg.depth_weight * d_j)
-                     & (jnp.sum(n_w * n_jw, axis=-1) > nrm_err))
-            ray_j = jnp_einsum("ij,hwj->hwi", cam_j.K_inv,
-                               jnp.concatenate(
-                                   [uv_j, jnp.ones((h, w, 1))], axis=-1))
-            X_j = cam_j.cam_to_world(ray_j * d_j[..., None])
+                     & (dot3(n_w, n_jw) > nrm_err))
+            ray_j = mat3_apply(cam_j.K_inv, (u_j, v_j, jnp.ones_like(u_j)))
+            X_j = _cam_to_world(cam_j, (ray_j[0] * d_j, ray_j[1] * d_j,
+                                        ray_j[2] * d_j))
             w_j = conf_to_weight(c_j, d_j) * agree
-            accX = accX + X_j * w_j[..., None]
-            accN = accN + n_jw * w_j[..., None]
+            accX = tuple(accX[c] + X_j[c] * w_j for c in range(3))
+            accN = tuple(accN[c] + n_jw[c] * w_j for c in range(3))
             if with_colors:
-                col_j, _ = nearest_sample(colors[j], uv_j)
-                accC = accC + col_j * w_j[..., None]
+                col_j = tuple(bilinear_sample_xy(colors[j][..., c],
+                                                 jnp.round(u_j),
+                                                 jnp.round(v_j))[0]
+                              for c in range(3))
+                accC = tuple(accC[c] + col_j[c] * w_j for c in range(3))
             accW = accW + w_j
             count = count + agree.astype(jnp.int32)
             owned = owned | (agree & (priority[j] < priority[i]))
@@ -222,11 +249,9 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
             (accX, accN, accC, accW, count, owned))
         keep = valid & (~owned) & (count >= cfg.min_views_fuse)
         inv_w = 1.0 / jnp.maximum(accW, 1e-12)
-        pts = accX * inv_w[..., None]
-        nrm = accN * inv_w[..., None]
-        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
-                                1e-12)
-        col = accC * inv_w[..., None]
+        pts = jnp.stack([accX[c] * inv_w for c in range(3)])
+        nrm = jnp.stack(normalize3(tuple(accN[c] * inv_w for c in range(3))))
+        col = jnp.stack([accC[c] * inv_w for c in range(3)])
         return pts, nrm, col, accW, count, keep
 
     pts, nrm, col, wts, count, keep = jax.lax.map(per_view, jnp.arange(n))
@@ -235,12 +260,13 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
 
 
 def compact_point_cloud(fused: dict) -> dict:
-    """Host-side compaction of the fused (N, H, W, ...) arrays."""
+    """Host-side compaction of the fused per-pixel arrays into (M, ...)."""
     keep = np.asarray(fused["keep"]).reshape(-1)
     out = {}
     for name in ("points", "normals", "colors"):
-        arr = np.asarray(fused[name])
-        out[name] = arr.reshape(-1, arr.shape[-1])[keep]
+        arr = np.asarray(fused[name])            # (N, 3, H, W)
+        arr = np.moveaxis(arr, 1, -1).reshape(-1, 3)
+        out[name] = arr[keep]
     for name in ("weights", "support"):
         out[name] = np.asarray(fused[name]).reshape(-1)[keep]
     return out

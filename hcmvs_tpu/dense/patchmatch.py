@@ -32,8 +32,9 @@ import numpy as np
 
 from hcmvs_tpu.core.config import DenseConfig
 from hcmvs_tpu.dense import score as S
-from hcmvs_tpu.dense.types import (PatchMatchState, ViewGeometry, face_camera,
-                                   init_state, pixel_rays)
+from hcmvs_tpu.dense.types import (PatchMatchState, ViewGeometry,
+                                   face_camera_t, init_state, normalize3,
+                                   pixel_rays, tangent_frame)
 
 
 @jax.tree_util.register_dataclass
@@ -49,10 +50,10 @@ class ScoreContext:
     gra: jax.Array                     # (H, W) gradient map
     d_min: jax.Array                   # scalar
     d_max: jax.Array                   # scalar
-    flow: Optional[jax.Array]          # (H, W, 2) or None
+    flow: Optional[jax.Array]          # (2, H, W) or None
     prior_depth: Optional[jax.Array]   # (H, W) or None (0 = no prior)
     nbr_depth: Optional[jax.Array]     # (V, H, W) or None
-    nbr_normal: Optional[jax.Array]    # (V, H, W, 3) or None
+    nbr_normal: Optional[jax.Array]    # (V, 3, H, W) or None
 
 
 def propagation_offsets(cfg: DenseConfig) -> list:
@@ -120,14 +121,16 @@ def _propagate_from(state_depth: jax.Array, state_normal: jax.Array,
     DepthMap.cpp:1277-1391 candidate harvesting)."""
     h, w = state_depth.shape
     pad = max(abs(dy), abs(dx))
+    ys = slice(pad + dy, pad + dy + h)
+    xs = slice(pad + dx, pad + dx + w)
     dm = jnp.pad(state_depth, pad, mode="edge")
-    nm = jnp.pad(state_normal, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-    rm = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
-    d_n = jax.lax.dynamic_slice(dm, (pad + dy, pad + dx), (h, w))
-    n_n = jax.lax.dynamic_slice(nm, (pad + dy, pad + dx, 0), (h, w, 3))
-    r_n = jax.lax.dynamic_slice(rm, (pad + dy, pad + dx, 0), (h, w, 3))
-    num = jnp.sum(n_n * r_n, axis=-1) * d_n
-    den = jnp.sum(n_n * rays, axis=-1)
+    nm = jnp.pad(state_normal, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    rm = jnp.pad(rays, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+    d_n = dm[ys, xs]
+    n_n = nm[:, ys, xs]
+    num = (n_n[0] * rm[0, ys, xs] + n_n[1] * rm[1, ys, xs]
+           + n_n[2] * rm[2, ys, xs]) * d_n
+    den = n_n[0] * rays[0] + n_n[1] * rays[1] + n_n[2] * rays[2]
     d_prop = num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
     return d_prop, n_n
 
@@ -146,17 +149,14 @@ def _perturb(key: jax.Array, depth: jax.Array, normal: jax.Array,
     a2 = jnp.radians(cfg.random_angle2_range) * scale
     t1_ang = jax.random.uniform(k1, (h, w), minval=-a1, maxval=a1)
     t2_ang = jax.random.uniform(k2, (h, w), minval=-a2, maxval=a2)
-    up = jnp.where(jnp.abs(normal[..., 2:3]) < 0.9,
-                   jnp.broadcast_to(jnp.array([0., 0., 1.]), normal.shape),
-                   jnp.broadcast_to(jnp.array([1., 0., 0.]), normal.shape))
-    t1 = jnp.cross(up, normal)
-    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-    t2 = jnp.cross(normal, t1)
-    n_new = (normal + t1 * jnp.tan(t1_ang)[..., None]
-             + t2 * jnp.tan(t2_ang)[..., None])
-    n_new = n_new / jnp.maximum(jnp.linalg.norm(n_new, axis=-1,
-                                                keepdims=True), 1e-9)
-    return d_new, face_camera(n_new, rays)
+    n = (normal[0], normal[1], normal[2])
+    t1, t2 = tangent_frame(n)
+    tt1 = jnp.tan(t1_ang)
+    tt2 = jnp.tan(t2_ang)
+    n_new = tuple(n[i] + t1[i] * tt1 + t2[i] * tt2 for i in range(3))
+    n_new = normalize3(n_new)
+    return d_new, jnp.stack(face_camera_t(n_new, (rays[0], rays[1],
+                                                  rays[2])))
 
 
 def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
@@ -165,44 +165,60 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
     """One checkerboard phase: pixels with (y+x)%2 == parity update."""
     h, w = state.depth.shape
     delta_c2pmax = jnp.max(jnp.abs(
-        jnp.sum(state.normal * ctx.rays, axis=-1) * state.depth))
+        (state.normal[0] * ctx.rays[0] + state.normal[1] * ctx.rays[1]
+         + state.normal[2] * ctx.rays[2]) * state.depth))
     cur_d, cur_n = state.depth, state.normal
 
     def cost_of(d, n):
         return compute_cost(ctx, d, n, cur_d, cur_n, delta_c2pmax, cfg,
                             phase, offsets)
 
-    best_d, best_n = state.depth, state.normal
-    best_c = cost_of(best_d, best_n)
-
     def consider(best, d_cand, n_cand, valid):
         bd, bn, bc = best
         c = jnp.where(valid, cost_of(d_cand, n_cand), jnp.inf)
         better = c < bc
         return (jnp.where(better, d_cand, bd),
-                jnp.where(better[..., None], n_cand, bn),
+                jnp.where(better[None], n_cand, bn),
                 jnp.where(better, c, bc))
 
-    best = (best_d, best_n, best_c)
+    best = (state.depth, state.normal, cost_of(state.depth, state.normal))
+
+    # propagation: stack the (cheap) candidate fields, scan the (expensive)
+    # scoring so its graph is emitted once — compile time stays flat in the
+    # number of candidates
+    cand_d, cand_n, cand_v = [], [], []
     for dy, dx in prop_offsets:
         d_p, n_p = _propagate_from(cur_d, cur_n, ctx.rays, dy, dx)
-        valid = (d_p >= ctx.d_min * 0.8) & (d_p <= ctx.d_max * 1.2)
-        best = consider(best, d_p, n_p, valid)
+        cand_d.append(d_p)
+        cand_n.append(n_p)
+        cand_v.append((d_p >= ctx.d_min * 0.8) & (d_p <= ctx.d_max * 1.2))
 
-    key = state.key
-    for r in range(cfg.random_iters):
-        key, sub = jax.random.split(key)
-        scale = 0.5 ** r
+    def prop_step(best, cand):
+        d_p, n_p, valid = cand
+        return consider(best, d_p, n_p, valid), None
+
+    best, _ = jax.lax.scan(
+        prop_step, best,
+        (jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_v)))
+
+    # annealed random refinement: scan with traced per-step scale
+    key, *subs = jax.random.split(state.key, cfg.random_iters + 1)
+    scales = 0.5 ** jnp.arange(cfg.random_iters, dtype=jnp.float32)
+
+    def refine_step(best, inp):
+        sub, scale = inp
         d_r, n_r = _perturb(sub, best[0], best[1], ctx.rays, scale, cfg)
         valid = (d_r >= ctx.d_min * 0.8) & (d_r <= ctx.d_max * 1.2)
-        best = consider(best, d_r, n_r, valid)
+        return consider(best, d_r, n_r, valid), None
+
+    best, _ = jax.lax.scan(refine_step, best, (jnp.stack(subs), scales))
 
     bd, bn, bc = best
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     mask = ((yy + xx) % 2) == parity
     return PatchMatchState(
         depth=jnp.where(mask, bd, state.depth),
-        normal=jnp.where(mask[..., None], bn, state.normal),
+        normal=jnp.where(mask[None], bn, state.normal),
         cost=jnp.where(mask, bc, state.cost),
         key=key)
 

@@ -5,7 +5,10 @@ TPU-first re-design of the reference's per-pixel scoring
 :987-1046 ScorePixel): instead of one C++ worker per pixel, every term is a
 whole-image tensor expression — static patch offsets become shifted slices,
 homography warps become fused FMA + gather, and the per-view loop is a
-``lax.map``.  The cost stack and its blending schedule follow the reference:
+``vmap``.  All 3-vector fields are planes-first (3, H, W) and all 3x3
+algebra is scalar-expanded (see dense/types.py LAYOUT RULE).
+
+The cost stack and its blending schedule follow the reference:
 
   photometric phase (it_ext < photo2geo):
       score = (1-w_flow) * score_ncc + w_flow * score_flow
@@ -39,27 +42,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hcmvs_tpu.core.camera import jnp_einsum
 from hcmvs_tpu.core.config import DenseConfig
-from hcmvs_tpu.dense.types import ViewGeometry
-from hcmvs_tpu.ops.sampling import bilinear_sample
+from hcmvs_tpu.dense.types import (ViewGeometry, dot3, mat3_apply,
+                                   mat3_apply_t, normalize3)
+from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 _SIGMA_COLOR = 0.2          # ref: DepthMap.h:538 GetWeight sigmaColor
 _GRA_STRONG = 100.0         # ref: DepthMap.cpp:457 hardcoded texture split
 _STRONG_HALFWIN = 5         # ref: DepthMap.cpp:458
 
 
-def patch_offsets(cfg: DenseConfig) -> np.ndarray:
-    """Static (S, 2) array of (dy, dx) patch sample offsets.
+def patch_offsets(cfg: DenseConfig) -> Tuple[Tuple[int, int], ...]:
+    """Static tuple of (dy, dx) patch sample offsets.
 
     Covers the *largest* half-window (weak texture); samples outside a
     pixel's adaptive half-window are masked at runtime
     (ref: DepthMap.cpp:450-462 FillPixelPatch adaptive window).
     """
     hw = max(cfg.adapt_half_window, cfg.patch_half_window)
-    r = np.arange(-hw, hw + 1, cfg.patch_step)
-    dy, dx = np.meshgrid(r, r, indexing="ij")
-    return np.stack([dy.ravel(), dx.ravel()], axis=-1).astype(np.int32)
+    r = range(-hw, hw + 1, cfg.patch_step)
+    return tuple((dy, dx) for dy in r for dx in r)
 
 
 def halfwin_map(gra: jax.Array, cfg: DenseConfig) -> jax.Array:
@@ -72,17 +74,21 @@ class RefPatchStats(NamedTuple):
     """Per-pixel weighted patch statistics of the reference image, constant
     across the whole estimation (ref: FillPixelPatch weightMap0 cache)."""
 
-    tm: jax.Array       # (H, W) weighted patch mean
+    tm: jax.Array        # (H, W) weighted patch mean
     norm_sq0: jax.Array  # (H, W) weighted centered sum of squares
-    sum_w: jax.Array    # (H, W) sum of bilateral weights
-    ref_pad: jax.Array  # (H+2P, W+2P) edge-padded gray image; P is derived
-                        # statically from the offsets (max |offset|)
+    sum_w: jax.Array     # (H, W) sum of bilateral weights
+    ref_pad: jax.Array   # (H+2P, W+2P) edge-padded gray image; P derived
+                         # statically from the offsets (max |offset|)
+
+
+def _pad_of(offsets) -> int:
+    return int(max(max(abs(dy), abs(dx)) for dy, dx in offsets))
 
 
 def _shifted(ref_pad: jax.Array, pad: int, dy: int, dx: int,
              h: int, w: int) -> jax.Array:
     """Static-offset slice of the padded image — free in XLA."""
-    return jax.lax.dynamic_slice(ref_pad, (pad + dy, pad + dx), (h, w))
+    return ref_pad[pad + dy:pad + dy + h, pad + dx:pad + dx + w]
 
 
 def _offset_weight(v_c: jax.Array, v_d: jax.Array, dy: int, dx: int,
@@ -95,25 +101,34 @@ def _offset_weight(v_c: jax.Array, v_d: jax.Array, dy: int, dx: int,
     return jnp.exp(w_color + w_spatial) * in_win
 
 
+def _stacked_shifts(ref_pad: jax.Array, pad: int, offsets, h: int, w: int
+                    ) -> jax.Array:
+    """(S, H, W) stack of the statically-shifted reference values."""
+    return jnp.stack([_shifted(ref_pad, pad, dy, dx, h, w)
+                      for dy, dx in offsets])
+
+
+def _weights_traced(v_c: jax.Array, v_d: jax.Array, dyf: jax.Array,
+                    dxf: jax.Array, hw: jax.Array) -> jax.Array:
+    """_offset_weight with traced offsets (for scan bodies)."""
+    w_color = (v_d - v_c) ** 2 * (-1.0 / (2.0 * _SIGMA_COLOR ** 2))
+    w_spatial = (dyf * dyf + dxf * dxf) / (-2.0 * hw * hw)
+    in_win = jnp.maximum(jnp.abs(dyf), jnp.abs(dxf)) <= hw
+    return jnp.exp(w_color + w_spatial) * in_win
+
+
 def ref_patch_stats(ref_gray: jax.Array, hw: jax.Array,
-                    offsets: np.ndarray) -> RefPatchStats:
+                    offsets) -> RefPatchStats:
     h, w = ref_gray.shape
-    pad = int(np.max(np.abs(offsets)))
+    pad = _pad_of(offsets)
     ref_pad = jnp.pad(ref_gray, pad, mode="edge")
-    v_c = ref_gray
-    sum_w = jnp.zeros((h, w), jnp.float32)
-    sum_wv = jnp.zeros((h, w), jnp.float32)
-    for dy, dx in offsets:
-        v_d = _shifted(ref_pad, pad, int(dy), int(dx), h, w)
-        wt = _offset_weight(v_c, v_d, int(dy), int(dx), hw)
-        sum_w = sum_w + wt
-        sum_wv = sum_wv + wt * v_d
-    tm = sum_wv / jnp.maximum(sum_w, 1e-12)
-    norm_sq0 = jnp.zeros((h, w), jnp.float32)
-    for dy, dx in offsets:
-        v_d = _shifted(ref_pad, pad, int(dy), int(dx), h, w)
-        wt = _offset_weight(v_c, v_d, int(dy), int(dx), hw)
-        norm_sq0 = norm_sq0 + wt * (v_d - tm) ** 2
+    v_ds = _stacked_shifts(ref_pad, pad, offsets, h, w)
+    offs = jnp.asarray(offsets, jnp.float32)
+    wts = jax.vmap(lambda v_d, off: _weights_traced(
+        ref_gray, v_d, off[0], off[1], hw))(v_ds, offs)
+    sum_w = jnp.sum(wts, axis=0)
+    tm = jnp.sum(wts * v_ds, axis=0) / jnp.maximum(sum_w, 1e-12)
+    norm_sq0 = jnp.sum(wts * (v_ds - tm) ** 2, axis=0)
     return RefPatchStats(tm=tm, norm_sq0=norm_sq0, sum_w=sum_w,
                          ref_pad=ref_pad)
 
@@ -121,68 +136,64 @@ def ref_patch_stats(ref_gray: jax.Array, hw: jax.Array,
 def photometric_scores(geom: ViewGeometry, src_grays: jax.Array,
                        stats: RefPatchStats, hw: jax.Array,
                        depth: jax.Array, normal: jax.Array, rays: jax.Array,
-                       offsets: np.ndarray, cfg: DenseConfig
+                       offsets, cfg: DenseConfig
                        ) -> Tuple[jax.Array, jax.Array]:
     """Weighted-ZNCC photometric cost per source view.
 
-    Returns ``(scores, bad)`` both (V, H, W): the ``1 - zncc`` cost in
-    [0, 2], and a mask of out-of-bounds / textureless evaluations that got
-    the flat thRobust cost.  Callers must not rescale bad entries — the
-    reference returns thRobust *before* the smoothness bonus
-    (ref: ScorePixelImage DepthMap.cpp:526-595, early returns :558/:591).
+    ``normal``/``rays`` are (3, H, W).  Returns ``(scores, bad)`` both
+    (V, H, W): the ``1 - zncc`` cost in [0, 2], and a mask of
+    out-of-bounds / textureless evaluations that got the flat thRobust
+    cost.  Callers must not rescale bad entries — the reference returns
+    thRobust *before* the smoothness bonus (ref: ScorePixelImage
+    DepthMap.cpp:526-595, early returns :558/:591).
     """
     h, w = depth.shape
-    pad = int(np.max(np.abs(offsets)))  # static; matches ref_patch_stats
+    pad = _pad_of(offsets)
     th_robust = cfg.ncc_threshold_keep * 1.2  # ref: DepthMap.cpp:433
 
-    # plane constant per pixel: d_plane = n . (depth * ray)
-    d_plane = jnp.sum(normal * rays, axis=-1) * depth          # (H, W)
+    nx, ny, nz = normal[0], normal[1], normal[2]
+    n_ray0 = nx * rays[0] + ny * rays[1] + nz * rays[2]
+    d_plane = n_ray0 * depth
     inv_dp = 1.0 / jnp.where(jnp.abs(d_plane) < 1e-12, 1e-12, d_plane)
-    # n^T K_inv columns: n . ray(p) = base + nk_x*dx + nk_y*dy
-    n_kinv = jnp_einsum("hwi,ij->hwj", normal, geom.K_inv_ref)  # (H, W, 3)
-    n_ray0 = jnp.sum(normal * rays, axis=-1)                    # (H, W)
+    # n . ray(p+delta) = n_ray0 + nk_x*dx + nk_y*dy  (K_inv columns 0/1)
+    Ki = geom.K_inv_ref
+    nk_x = nx * Ki[0, 0] + ny * Ki[1, 0] + nz * Ki[2, 0]
+    nk_y = nx * Ki[0, 1] + ny * Ki[1, 1] + nz * Ki[2, 1]
 
-    v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    v_, u_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
     ref_center = stats.ref_pad[pad:pad + h, pad:pad + w]
+    # pre-stacked shifted ref values: the only part of the offset loop that
+    # needs static offsets; the rest scans so compile time stays flat in S
+    v_ds = _stacked_shifts(stats.ref_pad, pad, offsets, h, w)
+    offs = jnp.asarray(offsets, jnp.float32)
 
     def per_view(A, wvec, src):
-        # A p0 for the pixel grid
-        Ap0 = (A[:, 0][None, None, :] * u[..., None]
-               + A[:, 1][None, None, :] * v[..., None]
-               + A[:, 2][None, None, :])                        # (H, W, 3)
+        # homogeneous warp of the pixel grid: components kept as planes
+        p0x = A[0, 0] * u_ + A[0, 1] * v_ + A[0, 2]
+        p0y = A[1, 0] * u_ + A[1, 1] * v_ + A[1, 2]
+        p0z = A[2, 0] * u_ + A[2, 1] * v_ + A[2, 2]
 
-        def accum(carry, off):
-            s_num, s_1, s_q1, s_w = carry
-            dy, dx = off
-            dyf = dy.astype(jnp.float32)
-            dxf = dx.astype(jnp.float32)
-            # ref patch value + weight at this offset
-            v_d = jax.lax.dynamic_slice(
-                stats.ref_pad, (pad + dy, pad + dx), (h, w))
-            w_color = (v_d - ref_center) ** 2 * (-1.0 / (2.0 * _SIGMA_COLOR ** 2))
-            w_spatial = (dyf * dyf + dxf * dxf) / (-2.0 * hw * hw)
-            in_win = (jnp.maximum(jnp.abs(dyf), jnp.abs(dxf)) <= hw)
-            wt = jnp.exp(w_color + w_spatial) * in_win
-
-            # homography warp of the offset pixel
-            s = (n_ray0 + n_kinv[..., 0] * dxf + n_kinv[..., 1] * dyf) * inv_dp
-            ph = (Ap0 + A[:, 0][None, None, :] * dxf
-                  + A[:, 1][None, None, :] * dyf
-                  + wvec[None, None, :] * s[..., None])          # (H, W, 3)
-            zs = ph[..., 2]
-            safe_z = jnp.where(jnp.abs(zs) < 1e-9, 1e-9, zs)
-            uv_s = ph[..., :2] / safe_z[..., None]
-            v1, valid = bilinear_sample(src, uv_s)
+        def step(carry, inp):
+            num, s1, sq1, sw = carry
+            v_d, off = inp
+            dyf, dxf = off[0], off[1]
+            wt = _weights_traced(ref_center, v_d, dyf, dxf, hw)
+            s = (n_ray0 + nk_x * dxf + nk_y * dyf) * inv_dp
+            phx = p0x + A[0, 0] * dxf + A[0, 1] * dyf + wvec[0] * s
+            phy = p0y + A[1, 0] * dxf + A[1, 1] * dyf + wvec[1] * s
+            phz = p0z + A[2, 0] * dxf + A[2, 1] * dyf + wvec[2] * s
+            inv_z = 1.0 / jnp.where(jnp.abs(phz) < 1e-9, 1e-9, phz)
+            v1, valid = bilinear_sample_xy(src, phx * inv_z, phy * inv_z)
             wt = wt * valid
-            return ((s_num + wt * (v_d - stats.tm) * v1,
-                     s_1 + wt * v1,
-                     s_q1 + wt * v1 * v1,
-                     s_w + wt), None)
+            return (num + wt * (v_d - stats.tm) * v1,
+                    s1 + wt * v1,
+                    sq1 + wt * v1 * v1,
+                    sw + wt), None
 
         zeros = jnp.zeros((h, w), jnp.float32)
         (num, s1, sq1, sw), _ = jax.lax.scan(
-            accum, (zeros, zeros, zeros, zeros), jnp.asarray(offsets))
+            step, (zeros, zeros, zeros, zeros), (v_ds, offs))
         var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
         denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1, 1e-16))
         ncc = jnp.clip(num / denom, -1.0, 1.0)
@@ -190,23 +201,22 @@ def photometric_scores(geom: ViewGeometry, src_grays: jax.Array,
 
         # center visibility: warp the center pixel, require in-bounds
         s_c = n_ray0 * inv_dp
-        ph_c = Ap0 + wvec[None, None, :] * s_c[..., None]
-        z_c = ph_c[..., 2]
-        uv_c = ph_c[..., :2] / jnp.where(jnp.abs(z_c) < 1e-9, 1e-9, z_c)[..., None]
+        cx = p0x + wvec[0] * s_c
+        cy = p0y + wvec[1] * s_c
+        cz = p0z + wvec[2] * s_c
+        inv_cz = 1.0 / jnp.where(jnp.abs(cz) < 1e-9, 1e-9, cz)
+        ucx = cx * inv_cz
+        ucy = cy * inv_cz
         hs, ws = src.shape
-        oob = ((uv_c[..., 0] < 0) | (uv_c[..., 0] > ws - 1)
-               | (uv_c[..., 1] < 0) | (uv_c[..., 1] > hs - 1)
-               | (z_c <= 0))
+        oob = ((ucx < 0) | (ucx > ws - 1) | (ucy < 0) | (ucy > hs - 1)
+               | (cz <= 0))
         bad = (oob | (var1 <= 1e-12)
                | (stats.norm_sq0 <= cfg.min_patch_variance ** 2))
         return jnp.where(bad, th_robust, score), bad
 
-    # unrolled over views: keeps peak memory at one view's working set while
-    # letting XLA pipeline the gathers across views
-    results = [per_view(geom.A[i], geom.wv[i], src_grays[i])
-               for i in range(src_grays.shape[0])]
-    scores = jnp.stack([r[0] for r in results])
-    bad = jnp.stack([r[1] for r in results])
+    # vmap over views: the scoring body is traced once (compile time stays
+    # flat in V) and XLA batches the gathers
+    scores, bad = jax.vmap(per_view)(geom.A, geom.wv, src_grays)
     return scores, bad
 
 
@@ -234,6 +244,7 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
     """Forward-backward reprojection consistency per view: (V, H, W) in
     [0, 2] (ref: DepthMap.cpp:625-732).
 
+    ``normal``/``rays`` are (3, H, W); ``nbr_normal`` is (V, 3, H, W).
     For each pixel: project into the neighbor view with the hypothesis
     depth, look up the neighbor's current (depth, normal), back-project and
     measure the reprojection error against the epipolar-line distance
@@ -242,54 +253,53 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
     h, w = depth.shape
     v_, u_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    uv0 = jnp.stack([u_, v_], axis=-1)
-    X0 = rays * depth[..., None]                                # (H, W, 3)
+    X0 = (rays[0] * depth, rays[1] * depth, rays[2] * depth)
     max_dist = float(np.hypot(w / 2, h / 2))
 
-    def per_view(i):
-        R_rel = geom.R_rel[i]
-        t_rel = geom.t_rel[i]
-        X1 = jnp_einsum("ij,hwj->hwi", R_rel, X0) + t_rel       # src cam
-        p1 = jnp_einsum("ij,hwj->hwi", geom.K_src[i], X1)
-        z1 = p1[..., 2]
-        uv1 = p1[..., :2] / jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)[..., None]
-        in1 = ((uv1[..., 0] >= 0) & (uv1[..., 0] <= w - 1)
-               & (uv1[..., 1] >= 0) & (uv1[..., 1] <= h - 1) & (z1 > 0))
-        d1, vd = bilinear_sample(nbr_depth[i], uv1)
-        n1, _ = bilinear_sample(nbr_normal[i], uv1)
-        n1 = n1 / jnp.maximum(jnp.linalg.norm(n1, axis=-1, keepdims=True),
-                              1e-12)
+    def per_view(R_rel, t_rel, K_src, K_inv_src, F, nbr_d, nbr_n):
+        X1 = mat3_apply(R_rel, X0)
+        X1 = (X1[0] + t_rel[0], X1[1] + t_rel[1], X1[2] + t_rel[2])
+        p1 = mat3_apply(K_src, X1)
+        z1 = p1[2]
+        inv_z1 = 1.0 / jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
+        u1 = p1[0] * inv_z1
+        v1c = p1[1] * inv_z1
+        in1 = (u1 >= 0) & (u1 <= w - 1) & (v1c >= 0) & (v1c <= h - 1) \
+            & (z1 > 0)
+        d1, vd = bilinear_sample_xy(nbr_d, u1, v1c)
+        n1 = tuple(bilinear_sample_xy(nbr_n[i], u1, v1c)[0]
+                   for i in range(3))
+        n1 = normalize3(n1)
         # back-project via neighbor's depth
-        ray1 = jnp_einsum("ij,hwj->hwi", geom.K_inv_src[i],
-                          jnp.concatenate([uv1, jnp.ones_like(z1)[..., None]],
-                                          axis=-1))
-        X1b = ray1 * d1[..., None]
-        X0b = jnp_einsum("ji,hwj->hwi", R_rel, X1b - t_rel)     # back to ref
-        p0b = jnp_einsum("ij,hwj->hwi", geom.K_ref, X0b)
-        z0b = p0b[..., 2]
-        uv0b = p0b[..., :2] / jnp.where(jnp.abs(z0b) < 1e-9, 1e-9,
-                                        z0b)[..., None]
-        in0 = ((uv0b[..., 0] >= 0) & (uv0b[..., 0] <= w - 1)
-               & (uv0b[..., 1] >= 0) & (uv0b[..., 1] <= h - 1) & (z0b > 0))
-        err = jnp.linalg.norm(uv0b - uv0, axis=-1)
+        ray1 = mat3_apply(K_inv_src, (u1, v1c, jnp.ones_like(u1)))
+        X1b = (ray1[0] * d1, ray1[1] * d1, ray1[2] * d1)
+        X0b = mat3_apply_t(R_rel, (X1b[0] - t_rel[0], X1b[1] - t_rel[1],
+                                   X1b[2] - t_rel[2]))
+        p0b = mat3_apply(geom.K_ref, X0b)
+        z0b = p0b[2]
+        inv_z0b = 1.0 / jnp.where(jnp.abs(z0b) < 1e-9, 1e-9, z0b)
+        u0b = p0b[0] * inv_z0b
+        v0b = p0b[1] * inv_z0b
+        in0 = (u0b >= 0) & (u0b <= w - 1) & (v0b >= 0) & (v0b <= h - 1) \
+            & (z0b > 0)
+        err = jnp.hypot(u0b - u_, v0b - v_)
         # epipolar distance of x0 to the epiline of x1 (the adaptive
-        # normalizer for the reprojection error)
-        lin = jnp_einsum("ij,hwj->hwi", geom.F[i].T,
-                         jnp.concatenate([uv1, jnp.ones_like(z1)[..., None]],
-                                         axis=-1))
-        dis = (jnp.abs(lin[..., 0] * u_ + lin[..., 1] * v_ + lin[..., 2])
-               / jnp.maximum(jnp.hypot(lin[..., 0], lin[..., 1]), 1e-9))
+        # normalizer for the reprojection error); line = F^T [u1,v1,1]
+        lin = mat3_apply_t(F, (u1, v1c, jnp.ones_like(u1)))
+        dis = (jnp.abs(lin[0] * u_ + lin[1] * v_ + lin[2])
+               / jnp.maximum(jnp.hypot(lin[0], lin[1]), 1e-9))
         dis = jnp.maximum(dis, 0.5)   # floor: sub-pixel epiline distances
         # normal agreement in a common (ref) frame
-        n1_ref = jnp_einsum("ji,hwj->hwi", R_rel, n1)
-        cos_n = jnp.abs(jnp.sum(normal * n1_ref, axis=-1))
-        score = jnp.where(
-            err < dis * cfg.maxgeo_proportion,
-            err / dis + (1.0 - cos_n), 2.0)
+        n1_ref = mat3_apply_t(R_rel, n1)
+        cos_n = jnp.abs(normal[0] * n1_ref[0] + normal[1] * n1_ref[1]
+                        + normal[2] * n1_ref[2])
+        score = jnp.where(err < dis * cfg.maxgeo_proportion,
+                          err / dis + (1.0 - cos_n), 2.0)
         bad = (~in1) | (~in0) | (d1 <= 0) | (~vd) | (err > max_dist)
         return jnp.where(bad, 1.0, jnp.minimum(score, 2.0))
 
-    return jnp.stack([per_view(i) for i in range(geom.A.shape[0])])
+    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_src,
+                              geom.K_inv_src, geom.F, nbr_depth, nbr_normal)
 
 
 def flow_score(geom: ViewGeometry, depth: jax.Array, rays: jax.Array,
@@ -297,24 +307,29 @@ def flow_score(geom: ViewGeometry, depth: jax.Array, rays: jax.Array,
     """Optical-flow cross-consistency against the best neighbor: (H, W) in
     [0, 2] (ref: DepthMap.cpp:741-792; applied to idxView==1 only).
 
-    Compares the PatchMatch-implied motion vector (projection of the pixel
-    into the neighbor minus the pixel) with the precomputed dense flow
-    field, scoring direction and length agreement.
+    ``flow`` is (2, H, W) (u, v planes).  Compares the PatchMatch-implied
+    motion vector (projection into the neighbor minus the pixel) with the
+    precomputed dense flow field, scoring direction and length agreement.
     """
     h, w = depth.shape
     v_, u_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    X0 = rays * depth[..., None]
-    X1 = jnp_einsum("ij,hwj->hwi", geom.R_rel[view_idx], X0) + geom.t_rel[view_idx]
-    p1 = jnp_einsum("ij,hwj->hwi", geom.K_src[view_idx], X1)
-    z1 = p1[..., 2]
-    uv1 = p1[..., :2] / jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)[..., None]
-    mv = uv1 - jnp.stack([u_, v_], axis=-1)        # implied motion
-    fv = flow                                       # Farneback motion
-    n_mv = jnp.linalg.norm(mv, axis=-1)
-    n_fv = jnp.linalg.norm(fv, axis=-1)
+    X0 = (rays[0] * depth, rays[1] * depth, rays[2] * depth)
+    X1 = mat3_apply(geom.R_rel[view_idx], X0)
+    t = geom.t_rel[view_idx]
+    X1 = (X1[0] + t[0], X1[1] + t[1], X1[2] + t[2])
+    p1 = mat3_apply(geom.K_src[view_idx], X1)
+    z1 = p1[2]
+    inv_z1 = 1.0 / jnp.where(jnp.abs(z1) < 1e-9, 1e-9, z1)
+    u1 = p1[0] * inv_z1
+    v1c = p1[1] * inv_z1
+    mvx = u1 - u_
+    mvy = v1c - v_
+    fvx, fvy = flow[0], flow[1]
+    n_mv = jnp.hypot(mvx, mvy)
+    n_fv = jnp.hypot(fvx, fvy)
     max_dist = float(np.hypot(w / 2, h / 2))
-    cos = jnp.sum(mv * fv, axis=-1) / jnp.maximum(n_mv * n_fv, 1e-9)
+    cos = (mvx * fvx + mvy * fvy) / jnp.maximum(n_mv * n_fv, 1e-9)
     ratio = jnp.minimum(n_mv, n_fv) / jnp.maximum(jnp.maximum(n_mv, n_fv),
                                                   1e-9)
     score = (1.0 - jnp.abs(cos)) + (1.0 - ratio)
@@ -322,8 +337,7 @@ def flow_score(geom: ViewGeometry, depth: jax.Array, rays: jax.Array,
     score = jnp.where((n_mv < 1e-6) & (n_fv >= 1e-6), 1.0, score)
     score = jnp.where((n_mv >= 1e-6) & (n_fv < 1e-6), 0.0, score)
     score = jnp.where((n_mv < 1e-6) & (n_fv < 1e-6), 0.0, score)
-    oob = ((uv1[..., 0] < 0) | (uv1[..., 0] > w - 1)
-           | (uv1[..., 1] < 0) | (uv1[..., 1] > h - 1) | (z1 <= 0))
+    oob = (u1 < 0) | (u1 > w - 1) | (v1c < 0) | (v1c > h - 1) | (z1 <= 0)
     return jnp.where(oob, 1.0, jnp.clip(score, 0.0, 2.0))
 
 
@@ -333,29 +347,36 @@ def local_smoothness_score(depth_map: jax.Array, normal_map: jax.Array,
                            delta_c2pmax: jax.Array) -> jax.Array:
     """Local depth/normal/plane-distance consistency: (H, W) in [0, 2]
     (ref: DepthMap.cpp:798-887 — 4x4 neighborhood mean |d-d_n|, |n-n_n|_1,
-    |n.X - n.X_n| with dMax/delta_c2pmax normalizers)."""
+    |n.X - n.X_n| with dMax/delta_c2pmax normalizers).
+
+    ``normal_map``/``rays`` are (3, H, W).
+    """
     h, w = depth.shape
-    c2p_cur = jnp.sum(normal * rays, axis=-1) * depth
+    c2p_cur = (normal[0] * rays[0] + normal[1] * rays[1]
+               + normal[2] * rays[2]) * depth
     pad = 2
     dm_pad = jnp.pad(depth_map, pad, mode="edge")
-    nm_pad = jnp.pad(normal_map, ((pad, pad), (pad, pad), (0, 0)),
+    nm_pad = jnp.pad(normal_map, ((0, 0), (pad, pad), (pad, pad)),
                      mode="edge")
-    rays_pad = jnp.pad(rays, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    rays_pad = jnp.pad(rays, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
     diff = jnp.zeros((h, w), jnp.float32)
     ndiff = jnp.zeros((h, w), jnp.float32)
     c2pdiff = jnp.zeros((h, w), jnp.float32)
     cnt = jnp.zeros((h, w), jnp.float32)
     for dy in range(-2, 2):
         for dx in range(-2, 2):
-            d_n = jax.lax.dynamic_slice(dm_pad, (pad + dy, pad + dx), (h, w))
-            n_n = jax.lax.dynamic_slice(nm_pad, (pad + dy, pad + dx, 0),
-                                        (h, w, 3))
-            r_n = jax.lax.dynamic_slice(rays_pad, (pad + dy, pad + dx, 0),
-                                        (h, w, 3))
+            ys = slice(pad + dy, pad + dy + h)
+            xs = slice(pad + dx, pad + dx + w)
+            d_n = dm_pad[ys, xs]
             ok = (d_n > 0).astype(jnp.float32)
             diff = diff + ok * jnp.abs(depth - d_n)
-            ndiff = ndiff + ok * jnp.sum(jnp.abs(normal - n_n), axis=-1)
-            c2p_n = jnp.sum(normal * r_n, axis=-1) * d_n
+            nd = (jnp.abs(normal[0] - nm_pad[0, ys, xs])
+                  + jnp.abs(normal[1] - nm_pad[1, ys, xs])
+                  + jnp.abs(normal[2] - nm_pad[2, ys, xs]))
+            ndiff = ndiff + ok * nd
+            c2p_n = (normal[0] * rays_pad[0, ys, xs]
+                     + normal[1] * rays_pad[1, ys, xs]
+                     + normal[2] * rays_pad[2, ys, xs]) * d_n
             c2pdiff = c2pdiff + ok * jnp.abs(c2p_cur - c2p_n)
             cnt = cnt + ok
     cnt = jnp.maximum(cnt, 1.0)
@@ -374,28 +395,36 @@ def smoothness_bonus(depth_map: jax.Array, normal_map: jax.Array,
                      cfg: DenseConfig) -> jax.Array:
     """Multiplicative smoothness bonus on the photometric score from the
     4-adjacent neighbors (ref: DepthMap.cpp:605-617 — plane-distance and
-    normal-angle factors, bonus = 1-fRandomSmoothBonus)."""
+    normal-angle factors, bonus = 1-fRandomSmoothBonus).
+
+    ``normal_map``/``rays``/``normal`` are (3, H, W).
+    """
     h, w = depth.shape
     bonus_d = 1.0 - cfg.random_smooth_bonus
     bonus_n = (1.0 - cfg.random_smooth_bonus) * 0.96
     sigma_d = -1.0 / (2.0 * cfg.random_smooth_depth ** 2)
     sigma_n = -1.0 / (2.0 * np.radians(cfg.random_smooth_normal) ** 2)
     dm_pad = jnp.pad(depth_map, 1, mode="edge")
-    nm_pad = jnp.pad(normal_map, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    rays_pad = jnp.pad(rays, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    nm_pad = jnp.pad(normal_map, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    rays_pad = jnp.pad(rays, ((0, 0), (1, 1), (1, 1)), mode="edge")
     factor = jnp.ones((h, w), jnp.float32)
-    n_dot_ray = jnp.sum(normal * rays, axis=-1)
+    n_dot_ray = (normal[0] * rays[0] + normal[1] * rays[1]
+                 + normal[2] * rays[2])
     plane_d = n_dot_ray * depth
+    inv_depth = 1.0 / jnp.maximum(depth, 1e-9)
     for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
-        d_n = jax.lax.dynamic_slice(dm_pad, (1 + dy, 1 + dx), (h, w))
-        n_n = jax.lax.dynamic_slice(nm_pad, (1 + dy, 1 + dx, 0), (h, w, 3))
-        r_n = jax.lax.dynamic_slice(rays_pad, (1 + dy, 1 + dx, 0), (h, w, 3))
-        X_n = r_n * d_n[..., None]
-        # distance of neighbor point to the hypothesis plane, / depth
-        dist = (jnp.sum(normal * X_n, axis=-1) - plane_d) / jnp.maximum(
-            depth, 1e-9)
+        ys = slice(1 + dy, 1 + dy + h)
+        xs = slice(1 + dx, 1 + dx + w)
+        d_n = dm_pad[ys, xs]
+        # distance of the neighbor's point to the hypothesis plane, / depth
+        nX = (normal[0] * rays_pad[0, ys, xs]
+              + normal[1] * rays_pad[1, ys, xs]
+              + normal[2] * rays_pad[2, ys, xs]) * d_n
+        dist = (nX - plane_d) * inv_depth
         f_d = jnp.exp(dist ** 2 * sigma_d)
-        cos = jnp.clip(jnp.sum(normal * n_n, axis=-1), -1.0, 1.0)
+        cos = jnp.clip(normal[0] * nm_pad[0, ys, xs]
+                       + normal[1] * nm_pad[1, ys, xs]
+                       + normal[2] * nm_pad[2, ys, xs], -1.0, 1.0)
         f_n = jnp.exp(jnp.arccos(cos) ** 2 * sigma_n)
         ok = (d_n > 0).astype(jnp.float32)
         factor = factor * (1.0 - bonus_d * f_d * ok) \

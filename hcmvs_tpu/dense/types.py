@@ -7,16 +7,59 @@ per-view homography factors Hl/Hm/Hr so each pixel's plane homography is a
 rank-1 update; we keep the same factorization — ``H p = A p + wv * (n.ray(p)
 / d_plane)`` — so per-pixel, per-candidate warps cost a handful of FMAs and
 never materialize 3x3 matrices per pixel.
+
+LAYOUT RULE (load-bearing for TPU performance): per-pixel vector fields
+(normals, rays, 3D points) are stored planes-first — shape ``(3, H, W)`` —
+never ``(H, W, 3)``.  A minor dimension of 3 occupies 3 of the VPU's 128
+lanes (2.3% utilization) and every op on such arrays relayouts; measured
+~400x slower on v5e for the homography warp.  All hot-path math expands
+3-vector algebra into scalar-coefficient elementwise ops on (H, W) planes
+(see ``mat3_apply`` / ``dot3``).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from hcmvs_tpu.core.camera import Camera, jnp_einsum, relative_motion, skew
+
+
+def mat3_apply(M: jax.Array, v) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``M @ v`` with M (3, 3) and v a 3-tuple/array of (H, W) planes.
+
+    Expands to 9 scalar-broadcast FMAs — the TPU-friendly form of the
+    (H, W, 3) einsum.
+    """
+    vx, vy, vz = v[0], v[1], v[2]
+    return (M[0, 0] * vx + M[0, 1] * vy + M[0, 2] * vz,
+            M[1, 0] * vx + M[1, 1] * vy + M[1, 2] * vz,
+            M[2, 0] * vx + M[2, 1] * vy + M[2, 2] * vz)
+
+
+def mat3_apply_t(M: jax.Array, v) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """``M^T @ v`` (e.g. camera-to-world rotation without materializing
+    the transpose)."""
+    vx, vy, vz = v[0], v[1], v[2]
+    return (M[0, 0] * vx + M[1, 0] * vy + M[2, 0] * vz,
+            M[0, 1] * vx + M[1, 1] * vy + M[2, 1] * vz,
+            M[0, 2] * vx + M[1, 2] * vy + M[2, 2] * vz)
+
+
+def dot3(a, b) -> jax.Array:
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def norm3(a) -> jax.Array:
+    return jnp.sqrt(jnp.maximum(dot3(a, a), 1e-18))
+
+
+def normalize3(a) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    inv = 1.0 / norm3(a)
+    return a[0] * inv, a[1] * inv, a[2] * inv
 
 
 @jax.tree_util.register_dataclass
@@ -57,57 +100,74 @@ class PatchMatchState:
     depthMap/normalMap/confMap trio in DepthData)."""
 
     depth: jax.Array   # (H, W) f32; 0 marks invalid
-    normal: jax.Array  # (H, W, 3) f32 unit, camera space, n . ray < 0
+    normal: jax.Array  # (3, H, W) f32 unit, camera space, n . ray < 0
     cost: jax.Array    # (H, W) f32 aggregated score (0 best, 2 worst)
     key: jax.Array     # PRNG key driving this map's random refinement
 
 
 def pixel_rays(K_inv: jax.Array, h: int, w: int) -> jax.Array:
-    """(H, W, 3) camera rays with z == 1 for every pixel center."""
+    """(3, H, W) camera rays with z == 1 for every pixel center."""
     v, u = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                         jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ones = jnp.ones_like(u)
-    p = jnp.stack([u, v, ones], axis=-1)
-    return jnp_einsum("ij,hwj->hwi", K_inv, p)
+    rx, ry, rz = mat3_apply(K_inv, (u, v, jnp.ones_like(u)))
+    return jnp.stack([rx, ry, rz])
 
 
 def random_normals(key: jax.Array, rays: jax.Array) -> jax.Array:
-    """Random unit normals facing the camera (n . ray < 0).
+    """(3, H, W) random unit normals facing the camera (n . ray < 0).
 
     Mirrors the reference's random plane init which draws normals in a cone
     around the viewing ray (ref: DepthMap.cpp random assignment using
     fRandomAngle1/2Range).
     """
-    h, w, _ = rays.shape
+    _, h, w = rays.shape
     k1, k2 = jax.random.split(key)
-    # polar sample around -ray with max tilt ~60 deg
     cos_t = jax.random.uniform(k1, (h, w), minval=0.5, maxval=1.0)
     phi = jax.random.uniform(k2, (h, w), minval=0.0, maxval=2 * jnp.pi)
     sin_t = jnp.sqrt(1.0 - cos_t ** 2)
-    # build tangent frame around d = -normalize(ray)
-    d = -rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
-    up = jnp.where(jnp.abs(d[..., 2:3]) < 0.9,
-                   jnp.broadcast_to(jnp.array([0., 0., 1.]), d.shape),
-                   jnp.broadcast_to(jnp.array([1., 0., 0.]), d.shape))
-    t1 = jnp.cross(up, d)
-    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True)
-    t2 = jnp.cross(d, t1)
-    n = (d * cos_t[..., None]
-         + t1 * (sin_t * jnp.cos(phi))[..., None]
-         + t2 * (sin_t * jnp.sin(phi))[..., None])
-    return face_camera(n, rays)
+    # tangent frame around d = -normalize(ray)
+    d = normalize3((-rays[0], -rays[1], -rays[2]))
+    t1, t2 = tangent_frame(d)
+    cp = sin_t * jnp.cos(phi)
+    sp = sin_t * jnp.sin(phi)
+    n = tuple(d[i] * cos_t + t1[i] * cp + t2[i] * sp for i in range(3))
+    n = face_camera_t(n, rays)
+    return jnp.stack(n)
+
+
+def tangent_frame(d):
+    """Orthonormal (t1, t2) perpendicular to unit direction d (planes)."""
+    use_z = jnp.abs(d[2]) < 0.9
+    ux = jnp.where(use_z, 0.0, 1.0)
+    uz = jnp.where(use_z, 1.0, 0.0)
+    # t1 = up x d  (up = (ux, 0, uz))
+    t1 = (0.0 * d[0] - uz * d[1],
+          uz * d[0] - ux * d[2],
+          ux * d[1] - 0.0 * d[0])
+    t1 = normalize3(t1)
+    # t2 = d x t1
+    t2 = (d[1] * t1[2] - d[2] * t1[1],
+          d[2] * t1[0] - d[0] * t1[2],
+          d[0] * t1[1] - d[1] * t1[0])
+    return t1, t2
+
+
+def face_camera_t(n, rays):
+    """Flip normal planes so n . ray <= 0 (pointing toward the camera)."""
+    s = jnp.where(dot3(n, rays) > 0, -1.0, 1.0)
+    return (n[0] * s, n[1] * s, n[2] * s)
 
 
 def face_camera(n: jax.Array, rays: jax.Array) -> jax.Array:
-    """Flip normals so n . ray <= 0 (pointing toward the camera)."""
-    d = jnp.sum(n * rays, axis=-1, keepdims=True)
-    return jnp.where(d > 0, -n, n)
+    """(3, H, W) stacked variant of face_camera_t."""
+    return jnp.stack(face_camera_t((n[0], n[1], n[2]),
+                                   (rays[0], rays[1], rays[2])))
 
 
-def init_state(key: jax.Array, rays: jax.Array, d_min: float,
-               d_max: float) -> PatchMatchState:
+def init_state(key: jax.Array, rays: jax.Array, d_min, d_max
+               ) -> PatchMatchState:
     """Random-plane initialization (ref: InitDepthMap's random fallback)."""
-    h, w, _ = rays.shape
+    _, h, w = rays.shape
     k_d, k_n, k_s = jax.random.split(key, 3)
     depth = jax.random.uniform(k_d, (h, w), minval=d_min, maxval=d_max)
     normal = random_normals(k_n, rays)

@@ -58,6 +58,36 @@ def bilinear_sample(img: jax.Array, uv: jax.Array,
     return out, valid
 
 
+def bilinear_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
+                       oob_value: float = 0.0
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Planes-form bilinear sampling: coordinates as separate (H, W)
+    arrays instead of a packed (..., 2) tensor.
+
+    This is the hot-path variant: packed uv has minor dimension 2, which
+    wastes 126 of the VPU's 128 lanes and forces relayouts (the dense
+    module's LAYOUT RULE, see dense/types.py).
+    """
+    h, w = img.shape[:2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    x0c = jnp.clip(x0i, 0, w - 2)
+    y0c = jnp.clip(y0i, 0, h - 2)
+    v00 = img[y0c, x0c]
+    v01 = img[y0c, x0c + 1]
+    v10 = img[y0c + 1, x0c]
+    v11 = img[y0c + 1, x0c + 1]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = top * (1 - fy) + bot * fy
+    return jnp.where(valid, out, oob_value), valid
+
+
 def nearest_sample(img: jax.Array, uv: jax.Array,
                    oob_value: float = 0.0) -> Tuple[jax.Array, jax.Array]:
     """Nearest-neighbor variant (used for label/segment maps)."""

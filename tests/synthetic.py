@@ -1,122 +1,4 @@
-"""Synthetic multi-view scenes with analytic ground truth.
-
-Renders a textured slanted plane (or several) from pinhole cameras by exact
-ray-plane intersection — no external data needed, and every pixel has an
-exact ground-truth depth and normal.  Serves the role the reference's
-bundled sample scene plays for its golden runs (SURVEY §4).
-"""
-
-from __future__ import annotations
-
-import dataclasses
-from typing import List, Tuple
-
-import numpy as np
-
-import jax.numpy as jnp
-
-from hcmvs_tpu.core.camera import Camera
-
-
-def _texture_params(rng: np.random.Generator, n_waves: int = 24):
-    return (rng.uniform(1.5, 11.0, (n_waves, 2)),
-            rng.uniform(0, 2 * np.pi, n_waves),
-            rng.uniform(0.3, 1.0, n_waves) / n_waves)
-
-
-def _texture(xy: np.ndarray, params) -> np.ndarray:
-    """Smooth, high-gradient-everywhere pattern: random sum of sinusoids.
-    The params are fixed per scene so every view samples the *same*
-    view-invariant (Lambertian) world texture."""
-    freqs, phases, amps = params
-    val = np.zeros(xy.shape[:-1])
-    for k in range(len(amps)):
-        val += amps[k] * np.sin(xy[..., 0] * freqs[k, 0]
-                                + xy[..., 1] * freqs[k, 1] + phases[k])
-    return (0.5 + 0.5 * val / np.abs(val).max()).astype(np.float32)
-
-
-@dataclasses.dataclass
-class PlaneScene:
-    cameras: List[Camera]
-    images: List[np.ndarray]          # (H, W) float32 gray
-    depth_gt: np.ndarray              # (H, W) ref-view ground truth
-    normal_gt: np.ndarray             # (3,) plane normal in ref cam coords
-    n_w: np.ndarray                   # world plane normal
-    c_w: float                        # world plane offset: n.X = c
-    d_min: float
-    d_max: float
-
-
-def _rotation(rx: float, ry: float, rz: float) -> np.ndarray:
-    cx, sx = np.cos(rx), np.sin(rx)
-    cy, sy = np.cos(ry), np.sin(ry)
-    cz, sz = np.cos(rz), np.sin(rz)
-    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
-    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
-    return Rx @ Ry @ Rz
-
-
-def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
-                     n_views: int = 3, fx: float = 100.0,
-                     slant: Tuple[float, float] = (0.3, 0.15),
-                     z0: float = 4.0) -> PlaneScene:
-    """Textured slanted plane z = z0 + a*x + b*y seen from ``n_views``
-    cameras: camera 0 is the reference at the origin; the others are
-    translated sideways with a small rotation (stereo-like baselines)."""
-    a, b = slant
-    # plane: z - a*x - b*y = z0  ->  n_w = (-a, -b, 1)/|.|, c = z0/|.|
-    n_w = np.array([-a, -b, 1.0])
-    norm = np.linalg.norm(n_w)
-    n_w = n_w / norm
-    c_w = z0 / norm
-
-    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
-    cams = []
-    for i in range(n_views):
-        if i == 0:
-            R = np.eye(3)
-            C = np.zeros(3)
-        else:
-            side = 1 if i % 2 else -1
-            k = (i + 1) // 2
-            R = _rotation(0.01 * side * k, -0.02 * side * k, 0.005 * k)
-            C = np.array([0.25 * side * k, 0.05 * k, 0.0])
-        cams.append(Camera(K=jnp.asarray(K, jnp.float32),
-                           R=jnp.asarray(R, jnp.float32),
-                           C=jnp.asarray(C, jnp.float32)))
-
-    tex_params = _texture_params(np.random.default_rng(12345))
-
-    def render(cam: Camera) -> Tuple[np.ndarray, np.ndarray]:
-        Rn = np.asarray(cam.R)
-        Cn = np.asarray(cam.C)
-        Kinv = np.linalg.inv(np.asarray(cam.K))
-        v, u = np.meshgrid(np.arange(h, dtype=np.float64),
-                           np.arange(w, dtype=np.float64), indexing="ij")
-        p = np.stack([u, v, np.ones_like(u)], axis=-1)
-        ray_cam = p @ Kinv.T
-        ray_w = ray_cam @ Rn           # R^T @ ray
-        t = (c_w - n_w @ Cn) / (ray_w @ n_w)
-        X = Cn + ray_w * t[..., None]
-        img = _texture(X[..., :2] * 2.0, tex_params)
-        return img.astype(np.float32), t.astype(np.float32)
-
-    images = []
-    depth_ref = None
-    for i, cam in enumerate(cams):
-        img, depth = render(cam)
-        images.append(img)
-        if i == 0:
-            depth_ref = depth
-
-    # ref-camera-frame plane normal (identity ref pose: same as world)
-    n_cam = n_w.astype(np.float32)
-    if n_cam[2] > 0:
-        n_cam = -n_cam   # face the camera (points have +z in cam frame)
-    d_min = float(depth_ref.min() * 0.7)
-    d_max = float(depth_ref.max() * 1.4)
-    return PlaneScene(cameras=cams, images=images, depth_gt=depth_ref,
-                      normal_gt=n_cam, n_w=n_w, c_w=c_w,
-                      d_min=d_min, d_max=d_max)
+"""Test shim: the synthetic scene generator lives in the package so the
+bench and graft entries can use it too."""
+from hcmvs_tpu.utils.synth import (PlaneScene, make_plane_scene, _texture,
+                                   _texture_params, _rotation)

@@ -40,7 +40,7 @@ def test_scene_rendering_consistency(scene):
     ref_cam = scene.cameras[0]
     src_cam = scene.cameras[1]
     h, w = scene.images[0].shape
-    rays = pixel_rays(ref_cam.K_inv, h, w)
+    rays = jnp.moveaxis(pixel_rays(ref_cam.K_inv, h, w), 0, -1)
     X = rays * jnp.asarray(scene.depth_gt)[..., None]
     Xw = ref_cam.cam_to_world(X)
     uv, d = src_cam.project(Xw)
@@ -61,7 +61,8 @@ def test_gt_plane_scores_better_than_random(scene):
     h, w = scene.images[0].shape
     offsets = S.patch_offsets(cfg)
     depth_gt = jnp.asarray(scene.depth_gt)
-    normal_gt = jnp.broadcast_to(jnp.asarray(scene.normal_gt), (h, w, 3))
+    normal_gt = jnp.broadcast_to(
+        jnp.asarray(scene.normal_gt)[:, None, None], (3, h, w))
     ncc_gt, _ = S.photometric_scores(geom, ctx.src_grays, ctx.stats, ctx.hw,
                                   depth_gt, normal_gt, ctx.rays, offsets, cfg)
     agg_gt = S.aggregate_scores(ncc_gt, cfg)
@@ -98,8 +99,8 @@ def test_patchmatch_recovers_plane(scene):
     assert valid.sum() > 0.85 * interior.sum()
     assert np.median(rel_err[valid]) < 0.01
     # normals should agree with the GT plane normal
-    n = np.asarray(normal)
-    cos = np.abs((n * scene.normal_gt).sum(-1))
+    n = np.asarray(normal)           # (3, H, W) planes-first
+    cos = np.abs((n * scene.normal_gt[:, None, None]).sum(0))
     assert np.median(cos[valid]) > 0.95
 
 
