@@ -104,6 +104,16 @@ class DenseConfig:
     agg_top_k: int = 0                 # 0: min-mean aggregation over views
                                        # (ref DENSE_AGGNCC_MINMEAN), else top-k
     use_pallas: bool = True            # Pallas kernels vs pure-XLA fallback
+    score_mode: str = "warped"         # "warped": sample each src view once
+                                       # per candidate at the warp center and
+                                       # take patch values from the warped
+                                       # image at static offsets (36x fewer
+                                       # gathers; exact for locally-planar
+                                       # hypothesis fields). "exact": warp
+                                       # every patch sample through the
+                                       # pixel's own plane homography
+                                       # (reference semantics; gather-bound
+                                       # at ~100M loads/s on TPU).
 
     @property
     def num_patch_samples(self) -> int:

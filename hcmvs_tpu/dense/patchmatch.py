@@ -78,9 +78,9 @@ def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
 
     ``phase`` 0 = photometric (it_ext < photo2geo), 1 = geometric.
     """
-    ncc, bad = S.photometric_scores(ctx.geom, ctx.src_grays, ctx.stats,
-                                    ctx.hw, depth, normal, ctx.rays,
-                                    offsets, cfg)
+    ncc, bad = S.score_photometric(ctx.geom, ctx.src_grays, ctx.stats,
+                                   ctx.hw, depth, normal, ctx.rays,
+                                   offsets, cfg)
     bonus = S.smoothness_bonus(cur_depth_map, cur_normal_map, ctx.rays,
                                depth, normal, cfg)
     # the bonus applies only to real matches: thRobust placeholders for

@@ -164,12 +164,31 @@ def face_camera(n: jax.Array, rays: jax.Array) -> jax.Array:
                                    (rays[0], rays[1], rays[2])))
 
 
-def init_state(key: jax.Array, rays: jax.Array, d_min, d_max
-               ) -> PatchMatchState:
-    """Random-plane initialization (ref: InitDepthMap's random fallback)."""
+def _upsample_bilinear(x: jax.Array, h: int, w: int) -> jax.Array:
+    """(h0, w0) -> (h, w) bilinear resize (align-corners-ish)."""
+    return jax.image.resize(x, (h, w), method="bilinear")
+
+
+def init_state(key: jax.Array, rays: jax.Array, d_min, d_max,
+               smooth_grid: int = 8) -> PatchMatchState:
+    """Random-plane initialization (ref: InitDepthMap's random fallback).
+
+    Depths are drawn on a coarse grid and bilinearly upsampled, with a
+    small per-pixel jitter on top: locally-coherent random fields are
+    required for the warped-image scoring mode to bootstrap (neighbors of
+    a pixel must carry comparable hypotheses for its warped patch to be
+    meaningful), and they lose nothing for the exact mode — the random
+    refinement ladder restores per-pixel diversity.
+    """
     _, h, w = rays.shape
-    k_d, k_n, k_s = jax.random.split(key, 3)
-    depth = jax.random.uniform(k_d, (h, w), minval=d_min, maxval=d_max)
+    k_c, k_j, k_n, k_s = jax.random.split(key, 4)
+    hc = max(2, h // smooth_grid)
+    wc = max(2, w // smooth_grid)
+    coarse = jax.random.uniform(k_c, (hc, wc), minval=d_min, maxval=d_max)
+    depth = _upsample_bilinear(coarse, h, w)
+    span = d_max - d_min
+    jitter = jax.random.uniform(k_j, (h, w), minval=-0.02, maxval=0.02)
+    depth = jnp.clip(depth + jitter * span, d_min, d_max)
     normal = random_normals(k_n, rays)
     cost = jnp.full((h, w), 2.0, jnp.float32)
     return PatchMatchState(depth=depth.astype(jnp.float32),

@@ -88,6 +88,18 @@ def bilinear_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
     return jnp.where(valid, out, oob_value), valid
 
 
+def nearest_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
+                      oob_value: float = 0.0) -> Tuple[jax.Array, jax.Array]:
+    """Planes-form nearest sampling: 1 load per point (pass pre-rounded
+    coordinates to skip the rounding)."""
+    h, w = img.shape[:2]
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    out = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    return jnp.where(valid, out, oob_value), valid
+
+
 def nearest_sample(img: jax.Array, uv: jax.Array,
                    oob_value: float = 0.0) -> Tuple[jax.Array, jax.Array]:
     """Nearest-neighbor variant (used for label/segment maps)."""

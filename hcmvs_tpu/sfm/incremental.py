@@ -1,0 +1,334 @@
+"""Incremental structure-from-motion driver.
+
+The TPU-native replacement for the OpenMVG pipeline the reference shells
+out to (ref: frame_main/MvgMvsPipeline.py:181-192 — SfMInit_ImageListing,
+ComputeFeatures, ComputeMatches, IncrementalSfM): feature detection,
+matching, two-view init, PnP registration and bundle adjustment all run as
+jitted device programs; only the track bookkeeping (ragged, data-dependent)
+stays on host, exactly the split the build plan prescribes (SURVEY §2.3).
+
+Output plugs straight into ``io.mvs.SceneMVS`` for the dense stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.io.mvs import (CameraIntrinsic, ImageRecord, Platform, Pose,
+                              SceneMVS)
+from hcmvs_tpu.sfm.ba import (BAState, build_problem, rodrigues,
+                              rotation_to_rvec, run_ba)
+from hcmvs_tpu.sfm.features import detect_and_describe
+from hcmvs_tpu.sfm.matching import match_descriptors
+from hcmvs_tpu.sfm.pnp import ransac_pnp
+from hcmvs_tpu.sfm.two_view import ransac_essential, triangulate_midpoint
+
+
+@dataclasses.dataclass
+class SfMConfig:
+    max_keypoints: int = 1024
+    match_ratio: float = 0.8
+    min_matches: int = 30
+    ransac_threshold: float = 2e-5   # squared Sampson, normalized coords
+    pnp_threshold: float = 1e-4
+    min_pnp_inliers: int = 12
+    ba_every: int = 3
+    final_ba_iters: int = 25
+
+
+@dataclasses.dataclass
+class SfMResult:
+    poses: Dict[int, Tuple[np.ndarray, np.ndarray]]  # img -> (R, C)
+    points: np.ndarray                               # (P, 3)
+    track_obs: List[List[Tuple[int, int]]]           # per point: (img, kp)
+    keypoints: List[np.ndarray]                      # per image (K, 2)
+    reproj_rms: float = 0.0
+
+
+def _normalize(uv: np.ndarray, K: np.ndarray) -> np.ndarray:
+    return (uv - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+
+
+def compute_features_and_matches(images: List[np.ndarray],
+                                 cfg: SfMConfig):
+    """Stage 1+2: per-image features and pairwise matches (device)."""
+    n = len(images)
+    kps = [detect_and_describe(jnp.asarray(im), cfg.max_keypoints)
+           for im in images]
+    xy = [np.asarray(k.xy) for k in kps]
+    valid = [np.asarray(k.score) > 0 for k in kps]
+    pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            m = match_descriptors(kps[i].desc, kps[j].desc,
+                                  jnp.asarray(valid[i]),
+                                  jnp.asarray(valid[j]), cfg.match_ratio)
+            mi = np.asarray(m.idx)
+            mv = np.asarray(m.valid)
+            pairs = np.stack([np.nonzero(mv)[0], mi[mv]], axis=1)
+            if len(pairs) >= cfg.min_matches:
+                pair_matches[(i, j)] = pairs
+    return xy, valid, pair_matches
+
+
+def incremental_sfm(images: List[np.ndarray], K: np.ndarray,
+                    cfg: Optional[SfMConfig] = None,
+                    verbose: bool = False) -> SfMResult:
+    cfg = cfg or SfMConfig()
+    xy, valid, pair_matches = compute_features_and_matches(images, cfg)
+    return sfm_from_matches(xy, pair_matches, K, len(images), cfg, verbose)
+
+
+def sfm_from_matches(xy: List[np.ndarray],
+                     pair_matches: Dict[Tuple[int, int], np.ndarray],
+                     K: np.ndarray, n: int,
+                     cfg: Optional[SfMConfig] = None,
+                     verbose: bool = False) -> SfMResult:
+    """Stages 3-6 from precomputed keypoints + matches (the track,
+    registration, and BA machinery — testable independently of the
+    feature front end)."""
+    cfg = cfg or SfMConfig()
+    key = jax.random.PRNGKey(0)
+
+    if not pair_matches:
+        raise ValueError("no image pairs with enough matches")
+
+    # 3. init pair: two-view RANSAC on every candidate, pick the pair with
+    # the most inliers (ties broken by parallax through the E decomposition)
+    best_pair, best_res, best_inl = None, None, -1
+    for (i, j), pairs in pair_matches.items():
+        p0 = _normalize(xy[i][pairs[:, 0]], K).astype(np.float32)
+        p1 = _normalize(xy[j][pairs[:, 1]], K).astype(np.float32)
+        key, sub = jax.random.split(key)
+        res = ransac_essential(sub, jnp.asarray(p0), jnp.asarray(p1),
+                               jnp.ones(len(p0), bool),
+                               cfg.ransac_threshold)
+        n_inl = int(res.n_inliers)
+        if n_inl > best_inl:
+            best_pair, best_res, best_inl = (i, j), res, n_inl
+    i0, i1 = best_pair
+    if verbose:
+        print(f"[sfm] init pair ({i0},{i1}) inliers={best_inl}")
+
+    # 4. initialize map: camera i0 at origin, i1 at recovered pose
+    R1 = np.asarray(best_res.R)
+    t1 = np.asarray(best_res.t)
+    poses: Dict[int, Tuple[np.ndarray, np.ndarray]] = {
+        i0: (np.eye(3), np.zeros(3)),
+        i1: (R1, t1),
+    }
+    pairs01 = pair_matches[best_pair]
+    inl = np.asarray(best_res.inliers)
+    p0 = _normalize(xy[i0][pairs01[:, 0]], K).astype(np.float32)
+    p1 = _normalize(xy[i1][pairs01[:, 1]], K).astype(np.float32)
+    X, z0 = triangulate_midpoint(jnp.asarray(R1, jnp.float32),
+                                 jnp.asarray(t1, jnp.float32),
+                                 jnp.asarray(p0), jnp.asarray(p1))
+    X = np.asarray(X)
+    z1 = (X @ R1.T + t1)[:, 2]
+    good = inl & (np.asarray(z0) > 0) & (z1 > 0)
+
+    points: List[np.ndarray] = []
+    track_obs: List[List[Tuple[int, int]]] = []
+    kp_to_track: Dict[Tuple[int, int], int] = {}
+    for m_idx in np.nonzero(good)[0]:
+        a, b = pairs01[m_idx]
+        tid = len(points)
+        points.append(X[m_idx])
+        track_obs.append([(i0, int(a)), (i1, int(b))])
+        kp_to_track[(i0, int(a))] = tid
+        kp_to_track[(i1, int(b))] = tid
+
+    def run_global_ba():
+        nonlocal points
+        reg = sorted(poses.keys())
+        cam_of = {img: c for c, img in enumerate(reg)}
+        obs_cam, obs_pt, obs_uv = [], [], []
+        for tid, obs in enumerate(track_obs):
+            for (img, kp) in obs:
+                if img in cam_of:
+                    obs_cam.append(cam_of[img])
+                    obs_pt.append(tid)
+                    obs_uv.append(xy[img][kp])
+        Ks = np.tile(K[None], (len(reg), 1, 1))
+        problem = build_problem(Ks, obs_cam, obs_pt, obs_uv, len(points),
+                                fixed_cams=[img == i0 for img in reg])
+        rvecs = np.stack([rotation_to_rvec(poses[img][0]) for img in reg])
+        tvecs = np.stack([poses[img][1] for img in reg])
+        state = BAState(rvecs=jnp.asarray(rvecs, jnp.float32),
+                        tvecs=jnp.asarray(tvecs, jnp.float32),
+                        points=jnp.asarray(np.stack(points), jnp.float32))
+        state, cost = run_ba(problem, state, cfg.final_ba_iters)
+        for c, img in enumerate(reg):
+            Rn = np.asarray(rodrigues(state.rvecs[c]))
+            poses[img] = (Rn, np.asarray(state.tvecs[c]))
+        points = [p for p in np.asarray(state.points)]
+        rms = float(np.sqrt(cost / max(len(obs_cam), 1)))
+        return rms
+
+    # 5. register remaining views by 2D-3D support
+    remaining = set(range(n)) - set(poses)
+    n_registered = 2
+    while remaining:
+        # count 2D-3D correspondences per candidate
+        counts = {}
+        for img in remaining:
+            c = 0
+            for (a, b), pairs in pair_matches.items():
+                if a == img or b == img:
+                    other = b if a == img else a
+                    if other not in poses:
+                        continue
+                    for pa, pb in pairs:
+                        kp_self = pa if a == img else pb
+                        kp_other = pb if a == img else pa
+                        if (other, int(kp_other)) in kp_to_track:
+                            c += 1
+            counts[img] = c
+        img = max(counts, key=counts.get)
+        if counts[img] < cfg.min_pnp_inliers:
+            break
+        remaining.discard(img)
+
+        # gather its 2D-3D correspondences
+        corr_X, corr_uv, corr_kp, corr_tid = [], [], [], []
+        for (a, b), pairs in pair_matches.items():
+            if a != img and b != img:
+                continue
+            other = b if a == img else a
+            if other not in poses:
+                continue
+            for pa, pb in pairs:
+                kp_self = int(pa if a == img else pb)
+                kp_other = int(pb if a == img else pa)
+                tid = kp_to_track.get((other, kp_other))
+                if tid is not None and (img, kp_self) not in kp_to_track:
+                    corr_X.append(points[tid])
+                    corr_uv.append(xy[img][kp_self])
+                    corr_kp.append(kp_self)
+                    corr_tid.append(tid)
+        if len(corr_X) < cfg.min_pnp_inliers:
+            continue
+        key, sub = jax.random.split(key)
+        uvn = _normalize(np.asarray(corr_uv), K).astype(np.float32)
+        res = ransac_pnp(sub, jnp.asarray(np.asarray(corr_X), jnp.float32),
+                         jnp.asarray(uvn),
+                         jnp.ones(len(corr_X), bool), cfg.pnp_threshold)
+        if int(res.n_inliers) < cfg.min_pnp_inliers:
+            if verbose:
+                print(f"[sfm] image {img}: PnP failed "
+                      f"({int(res.n_inliers)}/{len(corr_X)} inliers)")
+            continue
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        poses[img] = (R, t)
+        inl = np.asarray(res.inliers)
+        for k_i in np.nonzero(inl)[0]:
+            kp_to_track[(img, corr_kp[k_i])] = corr_tid[k_i]
+            track_obs[corr_tid[k_i]].append((img, corr_kp[k_i]))
+        if verbose:
+            print(f"[sfm] registered image {img} "
+                  f"({int(res.n_inliers)}/{len(corr_X)} inliers)")
+
+        # triangulate new tracks between img and registered others
+        for (a, b), pairs in pair_matches.items():
+            if a != img and b != img:
+                continue
+            other = b if a == img else a
+            if other not in poses:
+                continue
+            new = [(int(pa if a == img else pb), int(pb if a == img else pa))
+                   for pa, pb in pairs
+                   if (img, int(pa if a == img else pb)) not in kp_to_track
+                   and (other, int(pb if a == img else pa)) not in kp_to_track]
+            if not new:
+                continue
+            kp_s = np.array([x[0] for x in new])
+            kp_o = np.array([x[1] for x in new])
+            Rs, ts = poses[img]
+            Ro, to = poses[other]
+            # relative pose other->img: X_img = R_rel X_other + t_rel
+            R_rel = Rs @ Ro.T
+            t_rel = ts - R_rel @ to
+            po = _normalize(xy[other][kp_o], K).astype(np.float32)
+            ps = _normalize(xy[img][kp_s], K).astype(np.float32)
+            Xo, zo = triangulate_midpoint(
+                jnp.asarray(R_rel, jnp.float32),
+                jnp.asarray(t_rel, jnp.float32),
+                jnp.asarray(po), jnp.asarray(ps))
+            Xo = np.asarray(Xo)
+            Xs = Xo @ R_rel.T + t_rel
+            zs = Xs[:, 2]
+            # to world: X_w = Ro^T (X_other - to)
+            Xw = (Xo - to) @ Ro
+            # reprojection gate in both views (mismatched pairs triangulate
+            # somewhere, but not consistently with the measured rays)
+            zo_np = np.asarray(zo)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r_o = Xo[:, :2] / Xo[:, 2:3]
+                r_s = Xs[:, :2] / Xs[:, 2:3]
+            err = (np.sum((r_o - po) ** 2, 1) + np.sum((r_s - ps) ** 2, 1))
+            okc = ((zo_np > 0) & (zs > 0)
+                   & (err < 4 * cfg.pnp_threshold))
+            for k_i in np.nonzero(okc)[0]:
+                tid = len(points)
+                points.append(Xw[k_i])
+                track_obs.append([(other, int(kp_o[k_i])),
+                                  (img, int(kp_s[k_i]))])
+                kp_to_track[(other, int(kp_o[k_i]))] = tid
+                kp_to_track[(img, int(kp_s[k_i]))] = tid
+
+        n_registered += 1
+        if n_registered % cfg.ba_every == 0:
+            run_global_ba()
+
+    # 6. final global BA
+    rms = run_global_ba()
+    if verbose:
+        print(f"[sfm] done: {len(poses)}/{n} cams, {len(points)} points, "
+              f"rms {rms:.3f}px")
+    # convert t to camera centers
+    out_poses = {img: (R, -R.T @ t) for img, (R, t) in poses.items()}
+    return SfMResult(poses=out_poses, points=np.stack(points),
+                     track_obs=track_obs, keypoints=xy, reproj_rms=rms)
+
+
+def sfm_to_scene(result: SfMResult, K: np.ndarray, image_names: List[str],
+                 width: int, height: int) -> SceneMVS:
+    """Package an SfM result as a SceneMVS for the dense stage / .mvs IO."""
+    plat = Platform(name="p0")
+    plat.cameras.append(CameraIntrinsic(
+        name="cam0", width=width, height=height, K=K.astype(np.float64),
+        R=np.eye(3), C=np.zeros(3)))
+    scene = SceneMVS(platforms=[plat])
+    img_to_pose = {}
+    for img_idx in sorted(result.poses):
+        R, C = result.poses[img_idx]
+        img_to_pose[img_idx] = len(plat.poses)
+        plat.poses.append(Pose(R=R.astype(np.float64),
+                               C=C.astype(np.float64)))
+        scene.images.append(ImageRecord(
+            name=image_names[img_idx], platform_id=0, camera_id=0,
+            pose_id=img_to_pose[img_idx], id=img_idx))
+    # points + view lists (only registered images)
+    reg = {img: k for k, img in enumerate(sorted(result.poses))}
+    pts, counts, ids, confs = [], [], [], []
+    for tid, obs in enumerate(result.track_obs):
+        vids = [reg[img] for img, _ in obs if img in reg]
+        if len(vids) < 2:
+            continue
+        pts.append(result.points[tid])
+        counts.append(len(vids))
+        ids.extend(vids)
+        confs.extend([1.0] * len(vids))
+    scene.points = (np.stack(pts).astype(np.float32) if pts
+                    else np.zeros((0, 3), np.float32))
+    scene.point_view_counts = np.asarray(counts, np.int32)
+    scene.point_view_ids = np.asarray(ids, np.uint32)
+    scene.point_view_confs = np.asarray(confs, np.float32)
+    return scene

@@ -1,0 +1,99 @@
+"""Perspective-n-Point: camera pose from 2D-3D correspondences.
+
+Used by the incremental SfM loop to register new views (the reference
+delegates this to OpenMVG's resectioning inside IncrementalSfM).  Vmapped
+DLT hypotheses + reprojection-inlier scoring, then Gauss-Newton polish on
+the winner — same batched-RANSAC shape as two_view.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hcmvs_tpu.sfm.ba import rodrigues, rotation_to_rvec
+
+
+class PnPResult(NamedTuple):
+    R: jax.Array         # (3, 3) world->cam
+    t: jax.Array         # (3,)
+    inliers: jax.Array   # (N,)
+    n_inliers: jax.Array
+
+
+def _dlt_pose(X: jax.Array, uv_norm: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """P from >= 6 correspondences (normalized image coords); returns R, t."""
+    n = X.shape[0]
+    zeros = jnp.zeros((n, 4))
+    Xh = jnp.concatenate([X, jnp.ones((n, 1))], axis=-1)
+    rows1 = jnp.concatenate([Xh, zeros, -uv_norm[:, :1] * Xh], axis=-1)
+    rows2 = jnp.concatenate([zeros, Xh, -uv_norm[:, 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([rows1, rows2], axis=0)        # (2n, 12)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    P = vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    # orthogonalize M -> R via SVD; fix scale/sign
+    u, s, vtm = jnp.linalg.svd(M)
+    d = jnp.sign(jnp.linalg.det(u @ vtm))
+    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * d) @ vtm
+    scale = d * 3.0 / jnp.maximum(s.sum(), 1e-12)
+    t = P[:, 3] * scale
+    return R, t
+
+
+def _reproj_err(R, t, X, uv_norm):
+    Xc = X @ R.T + t
+    z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+    proj = Xc[:, :2] / z[:, None]
+    err = jnp.sum((proj - uv_norm) ** 2, axis=-1)
+    return jnp.where(Xc[:, 2] > 0, err, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("n_hypotheses", "n_refine"))
+def ransac_pnp(key: jax.Array, X: jax.Array, uv_norm: jax.Array,
+               valid: jax.Array, threshold: float = 1e-5,
+               n_hypotheses: int = 256, n_refine: int = 8) -> PnPResult:
+    """X: (N, 3) world points; uv_norm: (N, 2) normalized image coords."""
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(key, logits, shape=(n_hypotheses, 6))
+
+    def solve(sample):
+        return _dlt_pose(X[sample], uv_norm[sample])
+
+    Rs, ts = jax.vmap(solve)(idx)
+
+    def score(R, t):
+        e = _reproj_err(R, t, X, uv_norm)
+        inl = (e < threshold) & valid
+        return inl.sum(), inl
+
+    counts, inls = jax.vmap(score)(Rs, ts)
+    best = jnp.argmax(counts)
+    R, t = Rs[best], ts[best]
+    inliers = inls[best]
+
+    # GN polish on reprojection error over (rvec, t)
+    w = inliers.astype(jnp.float32)
+
+    def residuals(params):
+        Rp = rodrigues(params[:3]) @ R
+        tp = t + params[3:]
+        Xc = X @ Rp.T + tp
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        proj = Xc[:, :2] / z[:, None]
+        return ((proj - uv_norm) * w[:, None]).reshape(-1)
+
+    params = jnp.zeros(6)
+    for _ in range(n_refine):
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)
+        JtJ = J.T @ J + 1e-9 * jnp.eye(6)
+        params = params - jnp.linalg.solve(JtJ, J.T @ r)
+    R = rodrigues(params[:3]) @ R
+    t = t + params[3:]
+    e = _reproj_err(R, t, X, uv_norm)
+    inliers = (e < threshold) & valid
+    return PnPResult(R=R, t=t, inliers=inliers, n_inliers=inliers.sum())

@@ -60,10 +60,113 @@ def _rotation(rx: float, ry: float, rz: float) -> np.ndarray:
     return Rx @ Ry @ Rz
 
 
+def blob_texture_fn(rng: np.random.Generator, n_blobs: int = 1200,
+                    extent: float = 3.5):
+    """Returns a world-(x,y) -> intensity function rich in DoG blobs —
+    the feature-detector-friendly alternative to the sinusoid texture.
+    Blob sigmas are sized to span ~2-9 px at the default scene geometry
+    (z~4, fx~180)."""
+    centers = rng.uniform(-extent, extent, (n_blobs, 2))
+    sigmas = rng.uniform(0.03, 0.08, n_blobs)
+    amps = rng.uniform(0.25, 0.6, n_blobs) * rng.choice([-1, 1], n_blobs)
+
+    def fn(xy: np.ndarray) -> np.ndarray:
+        val = np.full(xy.shape[:-1], 0.5)
+        for c, s, a in zip(centers, sigmas, amps):
+            d2 = ((xy[..., 0] - c[0]) ** 2 + (xy[..., 1] - c[1]) ** 2)
+            val = val + a * np.exp(-d2 / (2 * s * s))
+        return np.clip(val, 0.0, 1.0).astype(np.float32)
+
+    return fn
+
+
+@dataclasses.dataclass
+class RidgeScene:
+    cameras: List[Camera]
+    images: List[np.ndarray]
+    depth_gt: np.ndarray              # ref-view depth
+    planes: List[Tuple[np.ndarray, float]]   # [(n_w, c_w)] two planes
+
+    def surface_dist(self, pts: np.ndarray) -> np.ndarray:
+        """Distance of world points to the ridge surface (min over the
+        side-appropriate plane)."""
+        (n1, c1), (n2, c2) = self.planes
+        d1 = np.abs(pts @ n1 - c1)
+        d2 = np.abs(pts @ n2 - c2)
+        return np.where(pts[:, 0] < 0, d1, d2)
+
+
+def make_ridge_scene(rng: np.random.Generator, h: int = 96, w: int = 128,
+                     n_views: int = 4, fx: float = 180.0,
+                     z0: float = 4.0, slopes: Tuple[float, float] =
+                     (0.5, -0.35), spacing: float = 0.5,
+                     texture_fn=None) -> RidgeScene:
+    """Two planes meeting at x = 0 (a ridge): non-planar structure, which
+    single-plane scenes lack — planar scenes are the degenerate case for
+    essential-matrix SfM (homography ambiguity), so SfM tests need this."""
+    a1, a2 = slopes
+    planes = []
+    for a in (a1, a2):
+        n = np.array([-a, 0.0, 1.0])
+        nn = np.linalg.norm(n)
+        planes.append((n / nn, z0 / nn))
+
+    K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1.0]])
+    cams_np = []
+    for i in range(n_views):
+        if i == 0:
+            R = np.eye(3)
+            C = np.zeros(3)
+        else:
+            side = 1 if i % 2 else -1
+            k = (i + 1) // 2
+            R = _rotation(0.01 * side * k, -0.02 * side * k, 0.005 * k)
+            C = np.array([spacing * side * k, 0.1 * spacing * k, 0.0])
+        cams_np.append((K, R, C))
+
+    tex = texture_fn or blob_texture_fn(rng)
+
+    def render(cam_np):
+        Kn, Rn, Cn = cam_np
+        Kinv = np.linalg.inv(Kn)
+        v, u = np.meshgrid(np.arange(h, dtype=np.float64),
+                           np.arange(w, dtype=np.float64), indexing="ij")
+        p = np.stack([u, v, np.ones_like(u)], axis=-1)
+        ray_w = (p @ Kinv.T) @ Rn
+        ts, valids = [], []
+        for k, (n_w, c_w) in enumerate(planes):
+            t = (c_w - n_w @ Cn) / (ray_w @ n_w)
+            X = Cn + ray_w * t[..., None]
+            want_neg = (k == 0)
+            ok = (t > 0) & ((X[..., 0] < 0) == want_neg)
+            ts.append(t)
+            valids.append(ok)
+        t = np.where(valids[0], ts[0],
+                     np.where(valids[1], ts[1],
+                              np.minimum(ts[0], ts[1])))
+        X = Cn + ray_w * t[..., None]
+        img = tex(X[..., :2])
+        return img.astype(np.float32), t.astype(np.float32)
+
+    images = []
+    depth_ref = None
+    for i, cam_np in enumerate(cams_np):
+        img, depth = render(cam_np)
+        images.append(img)
+        if i == 0:
+            depth_ref = depth
+    cams = [Camera(K=jnp.asarray(Kn, jnp.float32),
+                   R=jnp.asarray(Rn, jnp.float32),
+                   C=jnp.asarray(Cn, jnp.float32))
+            for Kn, Rn, Cn in cams_np]
+    return RidgeScene(cameras=cams, images=images, depth_gt=depth_ref,
+                      planes=planes)
+
+
 def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
                      n_views: int = 3, fx: float = 100.0,
                      slant: Tuple[float, float] = (0.3, 0.15),
-                     z0: float = 4.0) -> PlaneScene:
+                     z0: float = 4.0, texture_fn=None) -> PlaneScene:
     """Textured slanted plane z = z0 + a*x + b*y seen from ``n_views``
     cameras: camera 0 is the reference at the origin; the others are
     translated sideways with a small rotation (stereo-like baselines)."""
@@ -103,7 +206,10 @@ def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
         ray_w = ray_cam @ Rn           # R^T @ ray
         t = (c_w - n_w @ Cn) / (ray_w @ n_w)
         X = Cn + ray_w * t[..., None]
-        img = _texture(X[..., :2] * 2.0, tex_params)
+        if texture_fn is not None:
+            img = texture_fn(X[..., :2])
+        else:
+            img = _texture(X[..., :2] * 2.0, tex_params)
         return img.astype(np.float32), t.astype(np.float32)
 
     images = []

@@ -80,10 +80,18 @@ def test_gt_plane_scores_better_than_random(scene):
     assert frac_better > 0.9
 
 
-def test_patchmatch_recovers_plane(scene):
+@pytest.mark.parametrize("score_mode", ["exact", "warped"])
+def test_patchmatch_recovers_plane(scene, score_mode):
     """End-to-end single-pair estimation: photometric-only checkerboard
-    PatchMatch must recover the slanted plane's depth."""
-    cfg = TEST_CFG
+    PatchMatch must recover the slanted plane's depth (both the exact
+    reference-semantics scoring and the TPU-first warped-image mode).
+
+    The warped mode needs more (much cheaper) sweeps to converge — its
+    per-sweep cost is ~1/36th of exact."""
+    cfg = TEST_CFG.replace(score_mode=score_mode)
+    if score_mode == "warped":
+        cfg = cfg.replace(estimation_iters=4, estimation_iters_external=3,
+                          random_iters=6)
     geom = make_view_geometry(scene.cameras[0], _stack_cams(scene.cameras[1:]))
     state = estimate_depth_map(
         jax.random.PRNGKey(0), geom, jnp.asarray(scene.images[0]),

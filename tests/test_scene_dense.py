@@ -14,11 +14,15 @@ from hcmvs_tpu.dense.view_selection import (depth_range_from_points,
 
 from synthetic import make_plane_scene
 
+# exact scoring: these tests validate the multi-view machinery at minimal
+# iteration counts; the warped production mode needs (cheaper) longer
+# schedules and is covered in test_patchmatch
 CFG = DenseConfig(
     adapt_half_window=5, patch_half_window=3, patch_step=2,
     estimation_iters=2, estimation_iters_external=3, photo2geo=1,
     random_iters=3, use_optical_flow=0, use_geo_consistency=1,
-    use_part_consistency=0, optimize=0, min_views_fuse=2)
+    use_part_consistency=0, optimize=0, min_views_fuse=2,
+    score_mode="exact")
 
 
 def _scene_tensors(sc, num_views=2):
