@@ -25,6 +25,7 @@ naive timing measures dispatch, not compute.  We force the synchronous
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -62,6 +63,9 @@ def main():
 
     state = init_scene_state(jax.random.PRNGKey(0), scene)
 
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     def one_round(state):
         state = scene_sweeps(state, scene, cfg, 0, cfg.estimation_iters,
                              False)
@@ -71,16 +75,20 @@ def main():
 
     # warmup / compile (also first real round), then force synchronous
     # execution with a readback so the timed region measures real compute
+    t0 = time.perf_counter()
     state = one_round(state)
+    log(f"dispatch {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     _ = np.asarray(state.depth)
+    log(f"compile+warmup exec {time.perf_counter() - t0:.1f}s")
 
     n_rounds = 1
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         state = one_round(state)
-    jax.block_until_ready(state.depth)
-    _ = float(np.asarray(state.depth[0, 0, 0]))  # ensure work completed
+    _ = float(np.asarray(state.depth[0, 0, 0]))  # forces completion
     elapsed = time.perf_counter() - t0
+    log(f"timed round {elapsed:.1f}s")
 
     views_per_s = n_views * n_rounds / elapsed
     print(json.dumps({

@@ -1,0 +1,217 @@
+"""Surface reconstruction: Delaunay tetrahedralization + s-t graph cut.
+
+The TPU-native answer to the reference's CGAL + IBFS pipeline
+(ref: frame_main/libs/MVS/SceneReconstruct.cpp:768 Scene::ReconstructMesh —
+3D Delaunay, visibility-ray capacity accumulation, IBFS max-flow, facet
+extraction).  This stage is the one genuinely host-bound part of the
+framework (irregular, pointer-heavy — SURVEY §7 hard part #2); the design
+keeps the heavy regular work (ray sampling) vectorized:
+
+- Delaunay via scipy.spatial (Qhull), like the reference's CGAL.
+- Visibility: every (point, camera) observation casts a ray; sample points
+  along all rays at once and batch-locate them with ``find_simplex`` — the
+  vectorized replacement for the reference's per-ray tetra walking.
+- Free-space votes flow to the source, behind-the-point votes to the sink,
+  inter-tetra facets get a smoothness capacity; min-cut via
+  scipy.sparse.csgraph.maximum_flow (the BK/IBFS stand-in).
+- The surface is the set of facets separating free from full tetrahedra,
+  oriented toward free space.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+from scipy.sparse import coo_matrix, csr_matrix
+from scipy.sparse.csgraph import maximum_flow
+from scipy.spatial import Delaunay
+
+
+class SurfaceMesh(NamedTuple):
+    vertices: np.ndarray   # (V, 3) float32
+    faces: np.ndarray      # (F, 3) int32, oriented toward free space
+
+
+def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
+                     point_cam: np.ndarray,
+                     n_ray_samples: int = 8,
+                     alpha_vis: float = 1.0,
+                     lambda_smooth: float = 0.2,
+                     behind_scale: float = 0.01,
+                     cap_quantum: float = 0.05) -> SurfaceMesh:
+    """Reconstruct a surface from an oriented point cloud with visibility.
+
+    Args:
+      points: (N, 3) fused cloud.
+      cam_centers: (C, 3) camera centers.
+      point_cam: (N,) index of the (owner) camera that saw each point;
+        use multiple observations by repeating points with different cams.
+      n_ray_samples: samples along each visibility ray.
+      alpha_vis: vote weight per observation.
+      lambda_smooth: facet smoothness capacity.
+      behind_scale: how far behind the point the full-space vote lands,
+        as a fraction of the camera-point distance.
+      cap_quantum: quantization step for integer max-flow capacities.
+
+    Returns a SurfaceMesh (vertices are the input points).
+    """
+    points = np.asarray(points, np.float64)
+    n = len(points)
+    if n < 5:
+        raise ValueError("need at least 5 points")
+    tri = Delaunay(points)
+    nt = tri.nsimplex
+
+    # ---- visibility votes ----
+    # local scale: median nearest-neighbor spacing (the analog of the
+    # reference's distInsert spacing); votes must bracket the surface at
+    # this scale or thin structures (the common case — surfaces!) receive
+    # no evidence, since the tetrahedralization only spans the point slab
+    from scipy.spatial import cKDTree
+    tree = cKDTree(points)
+    d_nn, _ = tree.query(points, k=2)
+    h = max(np.median(d_nn[:, 1]), 1e-9)
+
+    cams = cam_centers[point_cam]                       # (N, 3)
+    ray = points - cams
+    dist = np.linalg.norm(ray, axis=1, keepdims=True)
+    dir_ = ray / np.maximum(dist, 1e-12)
+    # free-space samples: coarse fractions along the ray (empty space the
+    # ray crosses before reaching the surface slab)
+    t_frac = np.linspace(0.2, 0.9, max(n_ray_samples - 3, 1))
+    coarse = (cams[None, :, :] * (1 - t_frac[:, None, None])
+              + points[None, :, :] * t_frac[:, None, None])
+    free_tets = tri.find_simplex(coarse.reshape(-1, 3))
+    free_tets = free_tets.reshape(len(coarse), n)
+
+    s_cap = np.zeros(nt)
+    t_cap = np.zeros(nt)
+    for k in range(len(coarse)):
+        valid = free_tets[k] >= 0
+        np.add.at(s_cap, free_tets[k][valid], alpha_vis / len(coarse))
+        # de-duplicate per ray is skipped: repeated hits of the same tetra
+        # along one ray just weight long traversals higher, which mimics
+        # the reference's per-facet crossing accumulation
+
+    # sink/source votes on the single incident cell the ray enters just
+    # behind / just in front of each point — the reference's t-edge
+    # placement (SceneReconstruct.cpp ray-vote accumulation).  Centroid
+    # heuristics cancel for slab slivers (a cell is "behind" its top
+    # vertex and "in front of" its bottom vertex); barycentric containment
+    # of p +- eps*dir inside the incident cells does not.
+    tet_pts = tri.simplices                              # (nt, 4)
+    centroids = points[tet_pts].mean(1)                  # (nt, 3)
+    eps = 0.05 * h
+    behind_q = points + dir_ * eps
+    front_q = points - dir_ * eps
+    inc_tet = np.repeat(np.arange(nt), 4)
+    inc_pt = tet_pts.reshape(-1)
+    # barycentric test: q inside tetra iff all coords of the affine solve
+    # are >= -tol
+    v0 = points[tet_pts[inc_tet, 0]]
+    M = (points[tet_pts[inc_tet]][:, 1:, :]
+         - v0[:, None, :]).transpose(0, 2, 1)            # (I, 3, 3)
+    Minv_ok = np.abs(np.linalg.det(M)) > 1e-18
+    M_safe = np.where(Minv_ok[:, None, None], M,
+                      np.eye(3)[None])
+    Minv = np.linalg.inv(M_safe)
+
+    def _vote(q_pts, cap_arr):
+        rhs = q_pts[inc_pt] - v0
+        bary = np.einsum("nij,nj->ni", Minv, rhs)
+        b0 = 1.0 - bary.sum(1)
+        tol = -1e-9
+        inside = (Minv_ok & (bary >= tol).all(1) & (b0 >= tol))
+        np.add.at(cap_arr, inc_tet[inside], alpha_vis)
+
+    _vote(behind_q, t_cap)
+    _vote(front_q, s_cap)
+
+    # ---- graph construction ----
+    # nodes: [0..nt) tetras, nt = source, nt+1 = sink
+    src, dst, cap = [], [], []
+    neigh = tri.neighbors                                # (nt, 4)
+    ti = np.repeat(np.arange(nt), 4)
+    tj = neigh.reshape(-1)
+    ok = tj >= 0
+    ti, tj = ti[ok], tj[ok]
+    # smoothness capacity both directions (each appears twice; fine)
+    src.append(ti)
+    dst.append(tj)
+    cap.append(np.full(len(ti), lambda_smooth))
+    # NOTE: no blanket hull->free bias (the reference's kInf hull weights
+    # suit closed objects scanned from all sides); for open surfaces the
+    # far-side hull must be allowed to stay "full" or the cut oscillates
+    # to the back of the point slab.
+
+    S, T = nt, nt + 1
+    nz_s = np.nonzero(s_cap > 0)[0]
+    src.append(np.full(len(nz_s), S))
+    dst.append(nz_s)
+    cap.append(s_cap[nz_s])
+    nz_t = np.nonzero(t_cap > 0)[0]
+    src.append(nz_t)
+    dst.append(np.full(len(nz_t), T))
+    cap.append(t_cap[nz_t])
+
+    src = np.concatenate(src)
+    dst = np.concatenate(dst)
+    cap = np.concatenate(cap)
+    icap = np.maximum((cap / cap_quantum).astype(np.int64), 1)
+    graph = coo_matrix((icap, (src, dst)), shape=(nt + 2, nt + 2)).tocsr()
+    graph.sum_duplicates()
+
+    flow = maximum_flow(graph, S, T)
+    # source side of the residual graph = free space
+    resid = graph - flow.flow
+    free = _reachable_from(resid, S, nt + 2)
+    labels = np.zeros(nt + 2, bool)
+    labels[free] = True                                  # True = free space
+
+    # ---- extract the cut surface ----
+    faces = []
+    tet_pts = tri.simplices                              # (nt, 4)
+    for f_local in range(4):
+        # facet opposite to vertex f_local; neighbor across it
+        nb = neigh[:, f_local]
+        cur_free = labels[:nt]
+        nb_free = np.where(nb >= 0, labels[np.maximum(nb, 0)], True)
+        # surface where current is full and neighbor is free
+        is_surf = (~cur_free) & nb_free
+        tets = np.nonzero(is_surf)[0]
+        if len(tets) == 0:
+            continue
+        verts_idx = np.array([k for k in range(4) if k != f_local])
+        tri_faces = tet_pts[tets][:, verts_idx]
+        # orient toward free space: the facet normal should point at the
+        # free neighbor's centroid (fall back to away-from-opposite-vertex
+        # on the hull, where there is no neighbor)
+        a = points[tri_faces[:, 0]]
+        b = points[tri_faces[:, 1]]
+        c = points[tri_faces[:, 2]]
+        nrm = np.cross(b - a, c - a)
+        face_centroid = (a + b + c) / 3
+        nb_t = neigh[tets, f_local]
+        has_nb = nb_t >= 0
+        tgt = np.where(has_nb[:, None],
+                       centroids[np.maximum(nb_t, 0)],
+                       2 * face_centroid - points[tet_pts[tets, f_local]])
+        flip = np.sum(nrm * (tgt - face_centroid), axis=1) < 0
+        tri_faces[flip] = tri_faces[flip][:, [0, 2, 1]]
+        faces.append(tri_faces)
+
+    faces = (np.concatenate(faces).astype(np.int32) if faces
+             else np.zeros((0, 3), np.int32))
+    return SurfaceMesh(vertices=points.astype(np.float32), faces=faces)
+
+
+def _reachable_from(graph: csr_matrix, start: int, n: int) -> np.ndarray:
+    """BFS over positive-capacity residual edges."""
+    from scipy.sparse.csgraph import breadth_first_order
+    pos = graph.copy()
+    pos.data = (pos.data > 0).astype(np.int64)
+    pos.eliminate_zeros()
+    order = breadth_first_order(pos, start, directed=True,
+                                return_predecessors=False)
+    return order

@@ -1,0 +1,154 @@
+"""Mesh cleaning / decimation / smoothing.
+
+Replaces the reference's VCG-based Mesh::Clean stack
+(ref: frame_main/libs/MVS/Mesh.cpp:955 Clean — decimate, remove spurious
+components/spikes, close holes, smooth — and :3005 Decimate): numpy
+implementations of the operations the pipeline actually invokes
+(ReconstructMesh.cpp:278 cleans twice with decimation, small-component
+removal and light smoothing).  Hole closing and full manifold repair are
+tracked as follow-ups (FixNonManifold, Mesh.cpp:436).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def remove_small_components(vertices: np.ndarray, faces: np.ndarray,
+                            min_faces: int = 20
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop connected components with fewer than ``min_faces`` faces
+    (ref: Mesh::Clean fRemoveSpurious)."""
+    if len(faces) == 0:
+        return vertices, faces
+    # union-find over faces connected via shared edges
+    parent = np.arange(len(faces))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    edge_map = {}
+    for f_idx, f in enumerate(faces):
+        for k in range(3):
+            e = (min(f[k], f[(k + 1) % 3]), max(f[k], f[(k + 1) % 3]))
+            if e in edge_map:
+                a, b = find(edge_map[e]), find(f_idx)
+                if a != b:
+                    parent[a] = b
+            else:
+                edge_map[e] = f_idx
+
+    roots = np.array([find(i) for i in range(len(faces))])
+    _, inv, counts = np.unique(roots, return_inverse=True,
+                               return_counts=True)
+    keep = counts[inv] >= min_faces
+    faces = faces[keep]
+    return _compact(vertices, faces)
+
+
+def _compact(vertices: np.ndarray, faces: np.ndarray
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop unreferenced vertices and reindex faces."""
+    if len(faces) == 0:
+        return np.zeros((0, 3), vertices.dtype), faces
+    used = np.unique(faces)
+    remap = np.full(len(vertices), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return vertices[used], remap[faces].astype(faces.dtype)
+
+
+def decimate_mesh(vertices: np.ndarray, faces: np.ndarray,
+                  target_ratio: float = 0.5
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertex-clustering decimation to ~``target_ratio`` of the vertices
+    (ref: Mesh::Decimate / Clean fDecimate — the reference uses VCG
+    quadric decimation; grid clustering trades some quality for a simple,
+    deterministic implementation)."""
+    if len(faces) == 0 or target_ratio >= 1.0:
+        return vertices, faces
+    n_target = max(4, int(len(vertices) * target_ratio))
+    # robust bbox: isolated outliers must not dilute the grid resolution
+    # over the main surface (they collapse into the clamped edge cells)
+    bb_min = np.quantile(vertices, 0.05, axis=0)
+    bb_max = np.quantile(vertices, 0.95, axis=0)
+    extent = np.maximum(bb_max - bb_min, 1e-9)
+    # choose a grid with about n_target occupied cells
+    cells_per_axis = max(2, int(np.ceil(n_target ** (1 / 3) * 1.5)))
+    cell = extent / cells_per_axis
+    keys = np.floor((vertices - bb_min) / cell).astype(np.int64)
+    keys = np.clip(keys, -1, cells_per_axis + 1)
+    keys = (keys[:, 0] * (cells_per_axis + 3) + keys[:, 1]) \
+        * (cells_per_axis + 3) + keys[:, 2]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    # new vertex = centroid of cluster
+    new_v = np.zeros((len(uniq), 3))
+    cnt = np.zeros(len(uniq))
+    np.add.at(new_v, inv, vertices)
+    np.add.at(cnt, inv, 1)
+    new_v /= cnt[:, None]
+    new_f = inv[faces]
+    # drop degenerate faces
+    ok = ((new_f[:, 0] != new_f[:, 1]) & (new_f[:, 1] != new_f[:, 2])
+          & (new_f[:, 0] != new_f[:, 2]))
+    new_f = new_f[ok]
+    # drop duplicate faces (ignoring winding-preserving rotations)
+    key = np.sort(new_f, axis=1)
+    _, first = np.unique(key, axis=0, return_index=True)
+    new_f = new_f[np.sort(first)]
+    return _compact(new_v.astype(vertices.dtype),
+                    new_f.astype(faces.dtype))
+
+
+def laplacian_smooth(vertices: np.ndarray, faces: np.ndarray,
+                     n_iters: int = 2, lam: float = 0.5) -> np.ndarray:
+    """Uniform-weight Laplacian smoothing (ref: Clean's final smooth
+    pass)."""
+    if len(faces) == 0:
+        return vertices
+    v = vertices.astype(np.float64).copy()
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    for _ in range(n_iters):
+        acc = np.zeros_like(v)
+        cnt = np.zeros(len(v))
+        np.add.at(acc, edges[:, 0], v[edges[:, 1]])
+        np.add.at(acc, edges[:, 1], v[edges[:, 0]])
+        np.add.at(cnt, edges[:, 0], 1)
+        np.add.at(cnt, edges[:, 1], 1)
+        has = cnt > 0
+        v[has] = v[has] * (1 - lam) + lam * acc[has] / cnt[has, None]
+    return v.astype(vertices.dtype)
+
+
+def clean_mesh(vertices: np.ndarray, faces: np.ndarray,
+               decimate: float = 1.0, min_component_faces: int = 20,
+               smooth_iters: int = 2
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """The Clean pipeline the apps run (ref: ReconstructMesh.cpp:278)."""
+    if decimate < 1.0:
+        vertices, faces = decimate_mesh(vertices, faces, decimate)
+    vertices, faces = remove_small_components(vertices, faces,
+                                              min_component_faces)
+    if smooth_iters > 0:
+        vertices = laplacian_smooth(vertices, faces, smooth_iters)
+    return vertices, faces
+
+
+def compute_vertex_normals(vertices: np.ndarray,
+                           faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    n = np.zeros_like(vertices, dtype=np.float64)
+    if len(faces):
+        a = vertices[faces[:, 0]]
+        b = vertices[faces[:, 1]]
+        c = vertices[faces[:, 2]]
+        fn = np.cross(b - a, c - a)
+        for k in range(3):
+            np.add.at(n, faces[:, k], fn)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(norm, 1e-12)).astype(np.float32)

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from hcmvs_tpu.mesh.delaunay import reconstruct_mesh
+from hcmvs_tpu.mesh.mesh_ops import (clean_mesh, compute_vertex_normals,
+                                     decimate_mesh, laplacian_smooth,
+                                     remove_small_components)
+from hcmvs_tpu.mesh.texture import (face_view_quality, label_faces,
+                                    texture_mesh, write_textured_obj)
+
+
+def _plane_cloud(rng, n=400, z=3.0, noise=0.01):
+    """Noisy samples of the plane z=z0 seen from cameras above."""
+    xy = rng.uniform(-1, 1, (n, 2))
+    pts = np.column_stack([xy, np.full(n, z) + rng.normal(0, noise, n)])
+    cams = np.array([[0.0, 0.0, 0.0], [0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]])
+    point_cam = rng.integers(0, 3, n)
+    return pts.astype(np.float64), cams, point_cam
+
+
+def test_reconstruct_plane_surface(rng):
+    pts, cams, point_cam = _plane_cloud(rng)
+    mesh = reconstruct_mesh(pts, cams, point_cam)
+    assert len(mesh.faces) > 100
+    # surface faces should lie near the z=3 plane
+    face_z = mesh.vertices[mesh.faces].mean(1)[:, 2]
+    frac_on_plane = (np.abs(face_z - 3.0) < 0.1).mean()
+    assert frac_on_plane > 0.8
+    # normals should predominantly face the cameras (-z)
+    a = mesh.vertices[mesh.faces[:, 0]]
+    b = mesh.vertices[mesh.faces[:, 1]]
+    c = mesh.vertices[mesh.faces[:, 2]]
+    nrm = np.cross(b - a, c - a)
+    on_plane = np.abs(face_z - 3.0) < 0.1
+    frac_up = (nrm[on_plane][:, 2] < 0).mean()
+    assert frac_up > 0.7
+
+
+def _grid_mesh(nx=10, ny=10, z=3.0):
+    xs = np.linspace(-1, 1, nx)
+    ys = np.linspace(-1, 1, ny)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    verts = np.column_stack([gx.ravel(), gy.ravel(),
+                             np.full(nx * ny, z)]).astype(np.float32)
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a = i * ny + j
+            # winding chosen so normals face -z (toward cameras at z=0)
+            faces.append([a, a + 1, a + ny])
+            faces.append([a + 1, a + ny + 1, a + ny])
+    return verts, np.asarray(faces, np.int32)
+
+
+def test_mesh_ops(rng):
+    verts, faces = _grid_mesh()
+    # add a tiny disconnected triangle far away
+    extra_v = np.array([[10, 10, 10], [10.1, 10, 10], [10, 10.1, 10]],
+                       np.float32)
+    verts2 = np.concatenate([verts, extra_v])
+    faces2 = np.concatenate([faces,
+                             [[len(verts), len(verts) + 1, len(verts) + 2]]])
+    v3, f3 = remove_small_components(verts2, faces2, min_faces=5)
+    assert len(f3) == len(faces)
+    assert len(v3) == len(verts)
+
+    v4, f4 = decimate_mesh(verts, faces, 0.3)
+    assert len(v4) < len(verts)
+    assert len(f4) > 0
+    # decimated mesh stays on the plane
+    np.testing.assert_allclose(v4[:, 2], 3.0, atol=1e-5)
+
+    noisy = verts + rng.normal(0, 0.02, verts.shape).astype(np.float32)
+    sm = laplacian_smooth(noisy, faces, n_iters=5)
+    assert sm[:, 2].std() < noisy[:, 2].std()
+
+    n = compute_vertex_normals(verts, faces)
+    assert np.abs(n[:, 2]).min() > 0.99
+
+    cv, cf = clean_mesh(verts2, faces2, decimate=0.5,
+                        min_component_faces=5)
+    assert len(cf) > 0
+
+
+def _views_for_texture():
+    Ks = np.tile(np.array([[100.0, 0, 64], [0, 100.0, 48],
+                           [0, 0, 1.0]])[None], (2, 1, 1))
+    Rs = np.tile(np.eye(3)[None], (2, 1, 1))
+    Cs = np.array([[0.0, 0, 0], [0.6, 0, 0]])
+    img0 = np.full((96, 128, 3), 0.2, np.float32)
+    img1 = np.full((96, 128, 3), 0.8, np.float32)
+    return [img0, img1], Ks, Rs, Cs
+
+
+def test_face_labeling_and_texture(tmp_path):
+    verts, faces = _grid_mesh(8, 8, z=3.0)
+    images, Ks, Rs, Cs = _views_for_texture()
+    qual = face_view_quality(verts, faces, Ks, Rs, Cs,
+                             [(128, 96), (128, 96)])
+    assert (qual.max(1) > 0).mean() > 0.5
+    labels = label_faces(faces, qual)
+    assert (labels >= 0).sum() > 0
+    tm = texture_mesh(verts, faces, images, Ks, Rs, Cs, atlas_size=256)
+    assert tm.atlas.max() > 0           # something was sampled
+    labeled = tm.labels >= 0
+    assert (tm.uvs[labeled] >= 0).all() and (tm.uvs[labeled] <= 1).all()
+    path = str(tmp_path / "mesh.obj")
+    write_textured_obj(path, tm)
+    txt = open(path).read()
+    assert txt.count("\nv ") == len(verts)
+    assert "mtllib" in txt
+    import os
+    assert os.path.exists(str(tmp_path / "mesh.png"))
