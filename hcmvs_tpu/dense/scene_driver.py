@@ -153,9 +153,16 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
                    verbose: bool = False) -> SceneState:
     """Full multi-view estimation with the HC-MVS external schedule."""
     state = init_scene_state(key, scene)
-    for it_ext in range(cfg.estimation_iters_external):
+    n_ext = cfg.estimation_iters_external
+    for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
         use_nbr = phase >= 1
+        # planar priors computed one iteration before the last, feeding the
+        # final sweeps (ref: GenerateDepthPrior at it_external == n-2 + two
+        # extra prior-guided iterations, SceneDensify.cpp:983-1031)
+        if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
+                and scene.prior_depth is None:
+            scene = compute_scene_priors(state, scene)
         state = scene_sweeps(state, scene, cfg, phase, cfg.estimation_iters,
                              use_nbr)
         if cfg.optimize and it_ext in (1, 2):
@@ -164,6 +171,26 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
             print(f"[dense] it_ext={it_ext} phase={phase} "
                   f"mean_cost={float(jnp.mean(state.cost)):.4f}")
     return state
+
+
+@partial(jax.jit, static_argnames=())
+def _priors_batched(gray: jax.Array, depth: jax.Array,
+                    cams: Camera) -> jax.Array:
+    from hcmvs_tpu.dense.priors import generate_priors
+    n, h, w = gray.shape
+
+    def per_view(g, d, cam):
+        rays = pixel_rays(cam.K_inv, h, w)
+        return generate_priors(g, d, rays)
+
+    return jax.vmap(per_view)(gray, depth, cams)
+
+
+def compute_scene_priors(state: SceneState,
+                         scene: SceneTensors) -> SceneTensors:
+    """Attach per-view planar-prior depth maps to the scene."""
+    priors = _priors_batched(scene.gray, state.depth, scene.cams)
+    return dataclasses.replace(scene, prior_depth=priors)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

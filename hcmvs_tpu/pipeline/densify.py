@@ -1,0 +1,193 @@
+"""Dense reconstruction driver: the DensifyPointCloud equivalent.
+
+Loads a `.mvs` scene + images, runs neighbor selection, the multi-view
+PatchMatch schedule, fusion, and writes `.dmap` files, the fused cloud and
+a dense scene (ref: apps/DensifyPointCloud/DensifyPointCloud.cpp:373-458
+main + Scene::DenseReconstruction, SceneDensify.cpp:3532).  CLI flags map
+1:1 to the reference's via core.config.CLI_FLAG_MAP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hcmvs_tpu.core.camera import Camera
+from hcmvs_tpu.core.config import DenseConfig, config_from_cli_flags
+from hcmvs_tpu.dense.fusion import compact_point_cloud, fuse_point_cloud
+from hcmvs_tpu.dense.scene_driver import (SceneTensors, estimate_scene,
+                                          finalize)
+from hcmvs_tpu.dense.view_selection import (depth_range_from_points,
+                                            pair_scores, select_neighbors)
+from hcmvs_tpu.io.dmap import DepthMapData, write_dmap
+from hcmvs_tpu.io.images import compute_resolution_scale, load_image, \
+    resize_image, to_gray
+from hcmvs_tpu.io.mvs import SceneMVS, read_mvs, write_mvs
+from hcmvs_tpu.io.ply import write_ply_points
+
+
+def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
+                        cfg: DenseConfig,
+                        flows: Optional[np.ndarray] = None
+                        ) -> SceneTensors:
+    """Assemble device tensors from a host scene (uniform image sizes)."""
+    n = len(scene.images)
+    h, w = images_gray[0].shape
+    Ks, Rs, Cs = [], [], []
+    for i in range(n):
+        R, C = scene.pose_of(i)
+        Ks.append(scene.intrinsics_of(i, w, h))
+        Rs.append(R)
+        Cs.append(C)
+    cams = Camera(K=jnp.asarray(np.stack(Ks), jnp.float32),
+                  R=jnp.asarray(np.stack(Rs), jnp.float32),
+                  C=jnp.asarray(np.stack(Cs), jnp.float32))
+    centers = np.stack(Cs)
+    score = pair_scores(scene.points, scene.point_view_counts,
+                        scene.point_view_ids, centers, n,
+                        cfg.optim_angle, cfg.min_angle, cfg.max_angle)
+    v = min(cfg.geo_max_neighbors, max(n - 1, 1))
+    nbr_idx, nbr_valid = select_neighbors(score, v,
+                                          cfg.view_min_score_ratio)
+    d_ranges = np.stack([
+        depth_range_from_points(scene.points, scene.point_view_counts,
+                                scene.point_view_ids, Rs[i], Cs[i], i)
+        for i in range(n)])
+    from hcmvs_tpu.dense.scene_driver import splat_sparse_depths
+    seeds = splat_sparse_depths(scene.points, scene.point_view_counts,
+                                scene.point_view_ids,
+                                [(Ks[i], Rs[i], Cs[i]) for i in range(n)],
+                                n, h, w)
+    return SceneTensors(
+        gray=jnp.stack([jnp.asarray(g) for g in images_gray]),
+        cams=cams, nbr_idx=jnp.asarray(nbr_idx),
+        nbr_valid=jnp.asarray(nbr_valid),
+        d_min=jnp.asarray(d_ranges[:, 0], jnp.float32),
+        d_max=jnp.asarray(d_ranges[:, 1], jnp.float32),
+        seed_depth=jnp.asarray(seeds),
+        flows=None if flows is None else jnp.asarray(flows))
+
+
+def densify(scene_path: str, images_dir: str, out_dir: str,
+            cfg: Optional[DenseConfig] = None,
+            init_state_maps=None, verbose: bool = True) -> Dict:
+    """Full densification of a `.mvs` scene; returns summary stats."""
+    cfg = cfg or DenseConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    scene = read_mvs(scene_path)
+    n = len(scene.images)
+
+    # load + scale images to the working resolution
+    grays = []
+    scale = None
+    for i in range(n):
+        name = scene.images[i].name
+        path = name if os.path.isabs(name) else os.path.join(images_dir,
+                                                             os.path.basename(name))
+        img = load_image(path, gray=True)
+        if scale is None:
+            scale = compute_resolution_scale(img.shape[1], img.shape[0],
+                                             cfg.resolution_level,
+                                             cfg.max_resolution,
+                                             cfg.min_resolution)
+        grays.append(resize_image(img, scale))
+    # scale intrinsics: handled by intrinsics_of via working size
+    h, w = grays[0].shape
+
+    flows = None
+    if cfg.use_optical_flow:
+        from hcmvs_tpu.dense.flow import scene_flows
+        centers = np.stack([scene.pose_of(i)[1] for i in range(n)])
+        score = pair_scores(scene.points, scene.point_view_counts,
+                            scene.point_view_ids, centers, n)
+        nbr_idx, _ = select_neighbors(score, 1)
+        flows = scene_flows(np.stack(grays), nbr_idx)
+
+    tensors = build_scene_tensors(scene, grays, cfg, flows)
+    t0 = time.time()
+    state = estimate_scene(jax.random.PRNGKey(0), tensors, cfg,
+                           verbose=verbose)
+    depth, normal, conf = finalize(state, cfg)
+    wall = time.time() - t0
+
+    # save per-view .dmap artifacts (the stage-handoff format; ref:
+    # SceneDensify.cpp:3984-3992 saving depthmap/ and normalmap/)
+    dmap_dir = os.path.join(out_dir, "depthmap")
+    os.makedirs(dmap_dir, exist_ok=True)
+    depth_np = np.asarray(depth)
+    normal_np = np.asarray(normal)
+    conf_np = np.asarray(conf)
+    for i in range(n):
+        R, C = scene.pose_of(i)
+        write_dmap(os.path.join(dmap_dir, f"depth{i:04d}.dmap"),
+                   DepthMapData(
+                       depth=depth_np[i],
+                       normal=np.moveaxis(normal_np[i], 0, -1),
+                       conf=conf_np[i],
+                       K=scene.intrinsics_of(i, w, h), R=R, C=C,
+                       d_min=float(tensors.d_min[i]),
+                       d_max=float(tensors.d_max[i]),
+                       image_size=(w, h),
+                       image_name=scene.images[i].name,
+                       view_ids=[i] + list(np.asarray(tensors.nbr_idx[i]))))
+
+    # fuse to a point cloud
+    priority = jnp.asarray(np.argsort(np.argsort(
+        -np.asarray(tensors.nbr_valid).sum(1))), jnp.float32)
+    fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
+                             tensors.nbr_idx, tensors.nbr_valid, priority,
+                             cfg)
+    cloud = compact_point_cloud(fused)
+    write_ply_points(os.path.join(out_dir, "scene_dense.ply"),
+                     cloud["points"], cloud["normals"])
+
+    # dense scene .mvs (points + per-point views)
+    dense_scene = SceneMVS(platforms=scene.platforms, images=scene.images,
+                           points=cloud["points"].astype(np.float32),
+                           point_view_counts=np.minimum(
+                               cloud["support"], 255).astype(np.int32),
+                           point_view_ids=np.zeros(0, np.uint32),
+                           point_view_confs=np.zeros(0, np.float32),
+                           point_normals=cloud["normals"].astype(
+                               np.float32))
+    # view lists: emit owner view only (full lists tracked as follow-up)
+    dense_scene.point_view_counts = np.ones(len(cloud["points"]), np.int32)
+    owner = np.nonzero(np.asarray(fused["keep"]).reshape(n, -1))
+    dense_scene.point_view_ids = owner[0].astype(np.uint32)
+    dense_scene.point_view_confs = np.ones(len(cloud["points"]), np.float32)
+    write_mvs(os.path.join(out_dir, "scene_dense.mvs"), dense_scene)
+
+    return {"n_views": n, "wall_s": wall,
+            "views_per_s": n / wall,
+            "n_points": len(cloud["points"]),
+            "valid_frac": float((depth_np > 0).mean()),
+            "depth": depth_np, "normal": normal_np, "conf": conf_np}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="DensifyPointCloud equivalent (TPU-native)")
+    ap.add_argument("--input-file", required=True)
+    ap.add_argument("--images-dir", default=None)
+    ap.add_argument("-w", "--working-dir", default="mvs_out")
+    ap.add_argument("--flags", nargs="*", default=[],
+                    help="reference-style flag=value pairs, e.g. "
+                         "resolution-level=2 n-EstimationIters=3")
+    args = ap.parse_args(argv)
+    flags = dict(f.split("=", 1) for f in args.flags)
+    cfg = config_from_cli_flags(flags)
+    images_dir = args.images_dir or os.path.dirname(args.input_file)
+    stats = densify(args.input_file, images_dir, args.working_dir, cfg)
+    print({k: v for k, v in stats.items()
+           if k not in ("depth", "normal", "conf")})
+
+
+if __name__ == "__main__":
+    main()

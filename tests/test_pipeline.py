@@ -1,0 +1,122 @@
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.io.mvs import (CameraIntrinsic, ImageRecord, Platform, Pose,
+                              SceneMVS, write_mvs)
+from hcmvs_tpu.pipeline.densify import build_scene_tensors, densify
+from hcmvs_tpu.pipeline.hierarchy import default_schedule, run_hierarchy
+
+from synthetic import make_plane_scene
+
+CFG = DenseConfig(
+    adapt_half_window=5, patch_half_window=3, patch_step=2,
+    estimation_iters=2, estimation_iters_external=2, photo2geo=1,
+    random_iters=3, use_optical_flow=0, use_geo_consistency=1,
+    use_part_consistency=0, optimize=0, score_mode="exact",
+    resolution_level=0, min_resolution=0, use_semantic=False)
+
+
+def _write_scene(tmp_path, sc, n_sparse=60):
+    """Write the synthetic scene as scene.mvs + PNG images."""
+    h, w = sc.images[0].shape
+    rng = np.random.default_rng(0)
+    plat = Platform(name="p0")
+    K = np.asarray(sc.cameras[0].K, np.float64)
+    plat.cameras.append(CameraIntrinsic(name="c0", width=w, height=h,
+                                        K=K, R=np.eye(3), C=np.zeros(3)))
+    scene = SceneMVS(platforms=[plat])
+    img_dir = tmp_path / "images"
+    os.makedirs(img_dir, exist_ok=True)
+    for i, cam in enumerate(sc.cameras):
+        plat.poses.append(Pose(R=np.asarray(cam.R, np.float64),
+                               C=np.asarray(cam.C, np.float64)))
+        name = f"im{i:04d}.png"
+        cv2.imwrite(str(img_dir / name),
+                    (sc.images[i] * 255).astype(np.uint8))
+        scene.images.append(ImageRecord(name=name, platform_id=0,
+                                        camera_id=0, pose_id=i, id=i))
+    # sparse points on the GT plane, visible everywhere
+    xy = rng.uniform(-0.5, 0.5, (n_sparse, 2))
+    z = (sc.c_w - xy @ sc.n_w[:2]) / sc.n_w[2]
+    scene.points = np.column_stack([xy, z]).astype(np.float32)
+    scene.point_view_counts = np.full(n_sparse, len(sc.cameras), np.int32)
+    scene.point_view_ids = np.tile(
+        np.arange(len(sc.cameras), dtype=np.uint32), n_sparse)
+    scene.point_view_confs = np.ones(
+        n_sparse * len(sc.cameras), np.float32)
+    path = str(tmp_path / "scene.mvs")
+    write_mvs(path, scene)
+    return path, str(img_dir)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_plane_scene(np.random.default_rng(9), h=48, w=64,
+                            n_views=3)
+
+
+def test_densify_driver_end_to_end(scene, tmp_path):
+    scene_path, img_dir = _write_scene(tmp_path, scene)
+    out_dir = str(tmp_path / "out")
+    stats = densify(scene_path, img_dir, out_dir, CFG, verbose=False)
+    assert stats["n_views"] == 3
+    assert stats["valid_frac"] > 0.5
+    assert stats["n_points"] > 200
+    # artifacts exist and are readable
+    from hcmvs_tpu.io.dmap import read_dmap
+    from hcmvs_tpu.io.mvs import read_mvs
+    dm = read_dmap(os.path.join(out_dir, "depthmap", "depth0000.dmap"))
+    assert dm.depth.shape == (48, 64)
+    interior = dm.depth[8:-8, 8:-8]
+    valid = interior > 0
+    rel = np.abs(interior - scene.depth_gt[8:-8, 8:-8]) / \
+        scene.depth_gt[8:-8, 8:-8]
+    assert np.median(rel[valid]) < 0.02
+    dense = read_mvs(os.path.join(out_dir, "scene_dense.mvs"))
+    assert len(dense.points) == stats["n_points"]
+    assert os.path.exists(os.path.join(out_dir, "scene_dense.ply"))
+
+
+def test_hierarchy_schedule_structure():
+    sched = default_schedule(CFG)
+    assert [s.level for s in sched] == [3, 2, 2, 1, 1]
+    assert [s.variant for s in sched] == ["A", "B", "A", "B", "A"]
+    # variant A reads init, variant B triangulates + uses priors
+    assert sched[0].cfg.init_triangulate == 0
+    assert sched[1].cfg.init_triangulate == 1
+    assert sched[1].cfg.use_semantic
+
+
+def test_hierarchy_two_level_run(scene, tmp_path):
+    """Coarse-to-fine: level-2 estimation initializes level-1; the final
+    maps must match GT."""
+    import dataclasses as dc
+    scene_path, img_dir = _write_scene(tmp_path, scene)
+    from hcmvs_tpu.io.mvs import read_mvs
+    from hcmvs_tpu.io.images import resize_image
+    mvs = read_mvs(scene_path)
+    full = [im for im in scene.images]
+    half = [resize_image(im, 0.5) for im in scene.images]
+    cfg = CFG.replace(estimation_iters_external=1, photo2geo=99,
+                      use_geo_consistency=0)
+    tensors = {
+        1: build_scene_tensors(mvs, full, cfg),
+        2: build_scene_tensors(mvs, half, cfg),
+    }
+    from hcmvs_tpu.pipeline.hierarchy import Stage
+    sched = [Stage(level=2, variant="A", cfg=cfg),
+             Stage(level=1, variant="A", cfg=cfg),
+             Stage(level=1, variant="B",
+                   cfg=cfg.replace(use_semantic=False))]
+    state = run_hierarchy(tensors, cfg, sched)
+    d = np.asarray(state.depth[0])
+    interior = np.s_[8:-8, 8:-8]
+    rel = np.abs(d[interior] - scene.depth_gt[interior]) / \
+        scene.depth_gt[interior]
+    assert np.median(rel) < 0.02

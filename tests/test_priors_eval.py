@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcmvs_tpu.dense.priors import (fit_segment_planes, generate_priors,
+                                    prior_depth_map, slic_superpixels)
+from hcmvs_tpu.eval.compare import (compare_depth_maps, compare_normal_maps,
+                                    point_cloud_fscore)
+
+
+def test_slic_superpixels_segment_structure():
+    # two-tone image: superpixels should not straddle the strong edge much
+    img = np.zeros((64, 96), np.float32)
+    img[:, 48:] = 1.0
+    labels = np.asarray(slic_superpixels(jnp.asarray(img), grid_step=16))
+    assert labels.shape == (64, 96)
+    # each label's intensity variance should be small
+    n = labels.max() + 1
+    bad = 0
+    for k in range(n):
+        m = labels == k
+        if m.sum() > 10 and img[m].std() > 0.3:
+            bad += 1
+    assert bad <= 2
+    # labels cover a reasonable range
+    assert n >= 12
+
+
+def test_fit_segment_planes_recovers_plane():
+    h, w = 48, 64
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # inverse depth is affine in pixels for a 3D plane
+    inv_z = 0.002 * xx + 0.001 * yy + 0.2
+    depth = (1.0 / inv_z).astype(np.float32)
+    labels = jnp.zeros((h, w), jnp.int32)
+    rays = jnp.zeros((3, h, w))
+    planes, frac, cnt = fit_segment_planes(labels, jnp.asarray(depth),
+                                           rays, 1)
+    np.testing.assert_allclose(np.asarray(planes[0]),
+                               [0.002, 0.001, 0.2], atol=1e-5)
+    assert float(frac[0]) > 0.99
+    pd = np.asarray(prior_depth_map(labels, planes, frac, cnt, 1))
+    np.testing.assert_allclose(pd, depth, rtol=1e-4)
+
+
+def test_generate_priors_rejects_noise():
+    """Segments whose depths are pure noise should get no prior."""
+    h, w = 64, 64
+    rng = np.random.default_rng(0)
+    gray = rng.random((h, w), dtype=np.float32)
+    depth = rng.uniform(1, 10, (h, w)).astype(np.float32)
+    rays = jnp.zeros((3, h, w))
+    prior = np.asarray(generate_priors(jnp.asarray(gray),
+                                       jnp.asarray(depth), rays))
+    assert (prior > 0).mean() < 0.3
+
+
+def test_compare_depth_maps():
+    gt = np.full((32, 32), 4.0, np.float32)
+    est = gt.copy()
+    est[:8] = 0.0            # missing
+    est[8:16] *= 1.005       # small error
+    stats = compare_depth_maps(est, gt, threshold=0.01)
+    assert stats["completeness"] == pytest.approx(0.75)
+    assert stats["median_rel_err"] < 0.01
+    assert stats["frac_error_gt_threshold"] < 0.05
+
+
+def test_compare_normal_maps():
+    n1 = np.zeros((3, 16, 16), np.float32)
+    n1[2] = -1.0
+    n2 = n1.copy()
+    stats = compare_normal_maps(n1, n2)
+    assert stats["median_angle_deg"] < 0.1
+    assert stats["frac_below_10deg"] == 1.0
+
+
+def test_point_cloud_fscore():
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(0, 1, (500, 3))
+    est = np.concatenate([gt[:400] + rng.normal(0, 0.001, (400, 3)),
+                          rng.uniform(5, 6, (100, 3))])  # 20% outliers
+    s = point_cloud_fscore(est, gt, threshold=0.01)
+    assert s["precision"] == pytest.approx(0.8, abs=0.05)
+    assert s["recall"] > 0.75
+    assert 0.7 < s["fscore"] < 0.95
