@@ -1,0 +1,167 @@
+"""Semi-global matching: the alternative stereo path (fusion modes -1/-2).
+
+TPU-first re-design of the reference's SGM
+(ref: frame_main/libs/MVS/SemiGlobalMatcher.{h,cpp} — census transform,
+WTA over an 8-path aggregated cost volume, left-right consistency check,
+sub-pixel refinement; invoked via DensifyPointCloud --fusion-mode -1/-2,
+SceneDensify.cpp:3899-3911):
+
+- The census transform is shifted-array XOR popcounts (pure VPU).
+- Instead of rectification + disparity, the cost volume is built by
+  plane-sweeping D fronto-parallel depth hypotheses through the full
+  homography (general two-view poses, no rectification stage needed);
+  one warp per hypothesis amortizes over all pixels.
+- Path aggregation is the classic dynamic program, expressed as
+  ``lax.scan`` along rows/columns in both directions — the textbook
+  TPU-friendly scan pattern (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.core.config import DenseConfig
+from hcmvs_tpu.dense.types import ViewGeometry
+from hcmvs_tpu.ops.sampling import bilinear_sample_xy
+
+
+def census_transform(gray: jax.Array, radius: int = 2) -> jax.Array:
+    """(H, W) -> (H, W) uint32 census bitstring over a (2r+1)^2-1 window."""
+    h, w = gray.shape
+    pad = jnp.pad(gray, radius, mode="edge")
+    bits = jnp.zeros((h, w), jnp.uint32)
+    k = 0
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = pad[radius + dy:radius + dy + h,
+                     radius + dx:radius + dx + w]
+            bits = bits | ((nb < gray).astype(jnp.uint32) << k)
+            k += 1
+    return bits
+
+
+def hamming_distance(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Popcount of a XOR b for uint32 arrays."""
+    v = a ^ b
+    # bit-twiddling popcount
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return ((v * 0x01010101) >> 24).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_depths",))
+def cost_volume(geom: ViewGeometry, ref_gray: jax.Array,
+                src_gray: jax.Array, d_min: jax.Array, d_max: jax.Array,
+                n_depths: int = 64, view: int = 0) -> Tuple[jax.Array,
+                                                            jax.Array]:
+    """(D, H, W) census cost volume by plane-sweeping fronto-parallel
+    depths, plus the (D,) swept inverse-depth values."""
+    h, w = ref_gray.shape
+    cr = census_transform(ref_gray)
+    v_, u_ = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    A = geom.A[view]
+    wv = geom.wv[view]
+    p0x = A[0, 0] * u_ + A[0, 1] * v_ + A[0, 2]
+    p0y = A[1, 0] * u_ + A[1, 1] * v_ + A[1, 2]
+    p0z = A[2, 0] * u_ + A[2, 1] * v_ + A[2, 2]
+    inv_depths = jnp.linspace(1.0 / d_max, 1.0 / d_min, n_depths)
+    cs = census_transform(src_gray)
+
+    def sweep(inv_d):
+        # fronto-parallel plane at depth 1/inv_d: warp = A p + wv * inv_d
+        phx = p0x + wv[0] * inv_d
+        phy = p0y + wv[1] * inv_d
+        phz = p0z + wv[2] * inv_d
+        inv_z = 1.0 / jnp.where(jnp.abs(phz) < 1e-9, 1e-9, phz)
+        # census of the warped source: sample census bits nearest-neighbor
+        xs = jnp.round(phx * inv_z)
+        ys = jnp.round(phy * inv_z)
+        xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
+        oob = (xs < 0) | (xs > w - 1) | (ys < 0) | (ys > h - 1) | (phz <= 0)
+        c = hamming_distance(cr, cs[yi, xi])
+        return jnp.where(oob, 24.0, c)
+
+    vol = jax.lax.map(sweep, inv_depths)
+    return vol, inv_depths
+
+
+def _aggregate_dir(cost: jax.Array, p1: float, p2: float,
+                   axis: int, reverse: bool) -> jax.Array:
+    """One SGM path: scan the (D, H, W) volume along ``axis`` in (2 for
+    rows/cols), carrying the classic min-penalty recurrence."""
+    d, h, w = cost.shape
+    scan_axis = axis  # 1 = vertical path, 2 = horizontal path
+    vol = jnp.moveaxis(cost, scan_axis, 0)      # (L, D, rest)
+
+    def step(prev, cur):
+        prev_min = jnp.min(prev, axis=0, keepdims=True)
+        up = jnp.roll(prev, 1, axis=0).at[0].set(jnp.inf)
+        down = jnp.roll(prev, -1, axis=0).at[-1].set(jnp.inf)
+        best = jnp.minimum(jnp.minimum(prev, up + p1),
+                           jnp.minimum(down + p1, prev_min + p2))
+        out = cur + best - prev_min
+        return out, out
+
+    init = vol[0]
+    _, agg = jax.lax.scan(step, init, vol[1:], reverse=reverse)
+    if reverse:
+        agg = jnp.concatenate([agg, vol[-1:]], axis=0)
+    else:
+        agg = jnp.concatenate([vol[:1], agg], axis=0)
+    return jnp.moveaxis(agg, 0, scan_axis)
+
+
+@partial(jax.jit, static_argnames=())
+def sgm_aggregate(cost: jax.Array, p1: float = 3.0,
+                  p2: float = 20.0) -> jax.Array:
+    """4-path SGM aggregation (up/down/left/right) of a (D, H, W) volume
+    (ref: SemiGlobalMatcher 4/8-path option; diagonals are a follow-up)."""
+    total = jnp.zeros_like(cost)
+    for axis in (1, 2):
+        for reverse in (False, True):
+            total = total + _aggregate_dir(cost, p1, p2, axis, reverse)
+    return total
+
+
+@partial(jax.jit, static_argnames=("n_depths",))
+def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
+              d_min: jax.Array, d_max: jax.Array, n_depths: int = 64,
+              p1: float = 3.0, p2: float = 20.0,
+              max_cost: float = 18.0) -> Tuple[jax.Array, jax.Array]:
+    """Full SGM depth for a view pair: (depth (H, W), cost (H, W)).
+
+    WTA over the aggregated volume + parabola sub-pixel refinement in
+    inverse depth + winner-cost thresholding (the LR-check analog is
+    cross_view_filter downstream, matching how the reference fuses
+    SGM maps; SemiGlobalMatcher.cpp:739 Fuse).
+    """
+    vol, inv_depths = cost_volume(geom, ref_gray, src_gray, d_min, d_max,
+                                  n_depths)
+    agg = sgm_aggregate(vol, p1, p2)
+    best = jnp.argmin(agg, axis=0)                      # (H, W)
+    d_idx = jnp.clip(best, 1, n_depths - 2)
+    h, w = ref_gray.shape
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    c0 = agg[d_idx - 1, yy, xx]
+    c1 = agg[d_idx, yy, xx]
+    c2 = agg[d_idx + 1, yy, xx]
+    denom = c0 + c2 - 2 * c1
+    offset = jnp.where(jnp.abs(denom) > 1e-6,
+                       0.5 * (c0 - c2) / jnp.maximum(denom, 1e-6), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    step = inv_depths[1] - inv_depths[0]
+    inv_d = inv_depths[d_idx] + offset * step
+    depth = 1.0 / jnp.maximum(inv_d, 1e-9)
+    win_cost = c1 / 4.0                                 # per-path average
+    depth = jnp.where(win_cost < max_cost, depth, 0.0)
+    return depth, win_cost

@@ -1,0 +1,150 @@
+"""Variational mesh refinement: photometric vertex optimization.
+
+TPU-native analog of the reference's RefineMesh
+(ref: frame_main/libs/MVS/SceneRefine.cpp:79-192 MeshRefine / :1300
+Scene::RefineMesh and the CUDA twin SceneRefineCUDA.cpp:62-1944, whose
+PTX kernel list — image warps, windowed ZNCC stats, photometric vertex
+gradients, smoothness gradients, gradient combine — maps onto the jitted
+stages here):
+
+- Each vertex is scored by the ZNCC between small patches sampled around
+  its projections into view pairs (the warp + windowed-stat kernels).
+- The photometric gradient is taken along the vertex normal by finite
+  differences (the reference accumulates per-pixel gradients onto
+  vertices through the rasterization; the along-normal line search is the
+  rasterization-free equivalent for vertex-resolution refinement —
+  occlusion-aware z-buffered rasterization is the tracked upgrade).
+- A uniform-Laplacian regularizer stands in for the rigidity/elasticity
+  term (ref: RefineMesh.cpp --regularity-weight), and the gradient steps
+  run at multiple displacement scales (ref: --scales/--scale-step).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcmvs_tpu.ops.sampling import bilinear_sample_xy
+
+
+def _project(K, R, C, X):
+    """(V, 3) world -> (u, v, z) arrays."""
+    Xc = (X - C) @ R.T
+    z = Xc[:, 2]
+    u = (K[0, 0] * Xc[:, 0] + K[0, 2] * Xc[:, 2]) / jnp.where(
+        jnp.abs(z) < 1e-9, 1e-9, z)
+    v = (K[1, 1] * Xc[:, 1] + K[1, 2] * Xc[:, 2]) / jnp.where(
+        jnp.abs(z) < 1e-9, 1e-9, z)
+    return u, v, z
+
+
+_PATCH = np.array([(dy, dx) for dy in (-2, -1, 0, 1, 2)
+                   for dx in (-2, -1, 0, 1, 2)], np.float32)
+
+
+def _vertex_zncc(img_a, img_b, ua, va, ub, vb):
+    """ZNCC between 5x5 patches at (ua, va) in img_a and (ub, vb) in
+    img_b, per vertex."""
+    n = _PATCH.shape[0]
+    sa = jnp.zeros_like(ua)
+    sb = jnp.zeros_like(ua)
+    saa = jnp.zeros_like(ua)
+    sbb = jnp.zeros_like(ua)
+    sab = jnp.zeros_like(ua)
+    ok_all = jnp.ones_like(ua, bool)
+    for dy, dx in _PATCH:
+        a, ok1 = bilinear_sample_xy(img_a, ua + dx, va + dy)
+        b, ok2 = bilinear_sample_xy(img_b, ub + dx, vb + dy)
+        sa += a
+        sb += b
+        saa += a * a
+        sbb += b * b
+        sab += a * b
+        ok_all &= ok1 & ok2
+    ma = sa / n
+    mb = sb / n
+    cov = sab / n - ma * mb
+    var_a = jnp.maximum(saa / n - ma * ma, 1e-10)
+    var_b = jnp.maximum(sbb / n - mb * mb, 1e-10)
+    z = cov / jnp.sqrt(var_a * var_b)
+    return jnp.where(ok_all, jnp.clip(z, -1, 1), 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def refine_step(vertices: jax.Array, normals: jax.Array, edges: jax.Array,
+                images: jax.Array, Ks: jax.Array, Rs: jax.Array,
+                Cs: jax.Array, pair_a: jax.Array, pair_b: jax.Array,
+                step: jax.Array, reg_weight: float = 0.2,
+                n_iters: int = 5) -> jax.Array:
+    """``n_iters`` along-normal gradient steps at one displacement scale.
+
+    pair_a/pair_b: (P,) view indices of the photometric pairs to score
+    (the reference scores all overlapping image pairs; pass the best-k).
+    """
+
+    def photo_score(V):
+        total = jnp.zeros(V.shape[0])
+        cnt = jnp.zeros(V.shape[0])
+        for p in range(pair_a.shape[0]):
+            ia, ib = pair_a[p], pair_b[p]
+            ua, va, za = _project(Ks[ia], Rs[ia], Cs[ia], V)
+            ub, vb, zb = _project(Ks[ib], Rs[ib], Cs[ib], V)
+            z = _vertex_zncc(images[ia], images[ib], ua, va, ub, vb)
+            vis = (za > 0) & (zb > 0)
+            total += jnp.where(vis, z, 0.0)
+            cnt += vis
+        return total / jnp.maximum(cnt, 1.0)
+
+    def body(_, V):
+        # finite-difference photometric gradient along the normal
+        s0 = photo_score(V)
+        sp = photo_score(V + normals * step)
+        sm = photo_score(V - normals * step)
+        g = (sp - sm) / 2.0                    # d zncc / d (normal offset)
+        move = jnp.clip(g, -1.0, 1.0) * step
+        V = V + normals * move[:, None]
+        # Laplacian regularization (rigidity/elasticity analog)
+        acc = jnp.zeros_like(V)
+        cnt = jnp.zeros(V.shape[0])
+        acc = acc.at[edges[:, 0]].add(V[edges[:, 1]])
+        acc = acc.at[edges[:, 1]].add(V[edges[:, 0]])
+        cnt = cnt.at[edges[:, 0]].add(1.0)
+        cnt = cnt.at[edges[:, 1]].add(1.0)
+        lap = acc / jnp.maximum(cnt, 1.0)[:, None] - V
+        return V + reg_weight * lap
+
+    return jax.lax.fori_loop(0, n_iters, body, vertices)
+
+
+def refine_mesh(vertices: np.ndarray, faces: np.ndarray,
+                images: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
+                Cs: np.ndarray, pairs: np.ndarray,
+                scales: int = 3, scale_step: float = 0.5,
+                base_step: float = None, reg_weight: float = 0.2,
+                iters_per_scale: int = 5) -> np.ndarray:
+    """Multi-scale driver (ref: RefineMesh.cpp --scales 3 --scale-step
+    0.5): displacement scale shrinks by ``scale_step`` per level."""
+    from hcmvs_tpu.mesh.mesh_ops import compute_vertex_normals
+    if base_step is None:
+        # ~half the median edge length
+        e = vertices[faces[:, 0]] - vertices[faces[:, 1]]
+        base_step = 0.5 * float(np.median(np.linalg.norm(e, axis=1)))
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]]).astype(np.int32)
+    V = jnp.asarray(vertices, jnp.float32)
+    step = base_step
+    for s in range(scales):
+        normals = jnp.asarray(compute_vertex_normals(np.asarray(V), faces))
+        V = refine_step(V, normals, jnp.asarray(edges),
+                        jnp.asarray(images), jnp.asarray(Ks, jnp.float32),
+                        jnp.asarray(Rs, jnp.float32),
+                        jnp.asarray(Cs, jnp.float32),
+                        jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
+                        jnp.asarray(step, jnp.float32), reg_weight,
+                        iters_per_scale)
+        step *= scale_step
+    return np.asarray(V)
