@@ -52,7 +52,7 @@ class SceneTensors:
     d_min: jax.Array       # (N,)
     d_max: jax.Array       # (N,)
     seed_depth: Optional[jax.Array] = None   # (N, H, W) sparse-splat init
-    flows: Optional[jax.Array] = None        # (N, H, W, 2) ref->best nbr
+    flows: Optional[jax.Array] = None        # (N, 2, H, W) ref->best nbr
     prior_depth: Optional[jax.Array] = None  # (N, H, W)
 
 
@@ -60,7 +60,7 @@ class SceneTensors:
 @dataclasses.dataclass(frozen=True)
 class SceneState:
     depth: jax.Array    # (N, H, W)
-    normal: jax.Array   # (N, H, W, 3)
+    normal: jax.Array   # (N, 3, H, W) planes-first
     cost: jax.Array     # (N, H, W)
     keys: jax.Array     # (N, 2) PRNG keys
 

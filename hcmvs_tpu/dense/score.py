@@ -238,6 +238,10 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
     early random-init sweeps the approximation adds score noise comparable
     to the reference's own racy cross-view reads (SURVEY §5.2).  Gather
     cost drops by S (36x with default patch settings).
+
+    The offset accumulation itself runs as a fused Pallas kernel on TPU
+    (ops/pallas_zncc.py — HBM traffic O(H*W) instead of O(S*H*W)); the
+    lax.scan path below is the XLA fallback for CPU and parity tests.
     """
     h, w = depth.shape
     pad = _pad_of(offsets)
@@ -257,49 +261,27 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
     corner_offsets = tuple((dy, dx) for dy, dx in offsets
                            if abs(dy) == pad and abs(dx) == pad)
     scan_offsets = tuple(o for o in offsets if o not in corner_offsets)
-    v_ds = _stacked_shifts(stats.ref_pad, pad, scan_offsets, h, w)
-    offs = jnp.asarray(scan_offsets, jnp.float32)
+    Ki = geom.K_inv_ref
+    nk_x = nx * Ki[0, 0] + ny * Ki[1, 0] + nz * Ki[2, 0]
+    nk_y = nx * Ki[0, 1] + ny * Ki[1, 1] + nz * Ki[2, 1]
 
-    def per_view(A, wvec, src):
+    def center_warp(A, wvec, src):
         # center warp only: one bilinear sample per pixel
         s_c = n_ray0 * inv_dp
         phx = A[0, 0] * u_ + A[0, 1] * v_ + A[0, 2] + wvec[0] * s_c
         phy = A[1, 0] * u_ + A[1, 1] * v_ + A[1, 2] + wvec[1] * s_c
         phz = A[2, 0] * u_ + A[2, 1] * v_ + A[2, 2] + wvec[2] * s_c
         inv_z = 1.0 / jnp.where(jnp.abs(phz) < 1e-9, 1e-9, phz)
-        ucx = phx * inv_z
-        ucy = phy * inv_z
-        warped, valid_c = bilinear_sample_xy(src, ucx, ucy)
-        oob = (~valid_c) | (phz <= 0)
+        warped, valid_c = bilinear_sample_xy(src, phx * inv_z, phy * inv_z)
+        return warped, valid_c, (~(valid_c > 0)) | (phz <= 0)
 
-        # patch stats from static shifts of the warped image; samples whose
-        # source pixel was invalid are masked out of the window
-        w_pad = jnp.pad(warped, pad, mode="edge")
-        vwarp_pad = jnp.pad(valid_c.astype(jnp.float32), pad,
-                            mode="constant")
-        w_ds = _stacked_shifts(w_pad, pad, scan_offsets, h, w)
-        vv_ds = _stacked_shifts(vwarp_pad, pad, scan_offsets, h, w)
-
-        def step(carry, inp):
-            num, s1, sq1, sw = carry
-            v_d, w_d, ok, off = inp
-            wt = _weights_traced(ref_center, v_d, off[0], off[1], hw) * ok
-            return (num + wt * (v_d - stats.tm) * w_d,
-                    s1 + wt * w_d,
-                    sq1 + wt * w_d * w_d,
-                    sw + wt), None
-
-        zeros = jnp.zeros((h, w), jnp.float32)
-        (num, s1, sq1, sw), _ = jax.lax.scan(
-            step, (zeros, zeros, zeros, zeros), (v_ds, w_ds, vv_ds, offs))
-
+    def corner_acc(A, wvec, src):
         # 4 corner samples warped exactly through the pixel's own plane:
         # the center warp is normal-independent (s_c = 1/depth), so without
         # these the slanted-plane orientation would be photometrically
         # unobservable in this mode
-        Ki = geom.K_inv_ref
-        nk_x = nx * Ki[0, 0] + ny * Ki[1, 0] + nz * Ki[2, 0]
-        nk_y = nx * Ki[0, 1] + ny * Ki[1, 1] + nz * Ki[2, 1]
+        zeros = jnp.zeros((h, w), jnp.float32)
+        num, s1, sq1, sw = zeros, zeros, zeros, zeros
         for dy, dx in corner_offsets:
             v_d = _shifted(stats.ref_pad, pad, int(dy), int(dx), h, w)
             wt = _weights_traced(ref_center, v_d, jnp.float32(dy),
@@ -318,16 +300,53 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
             s1 = s1 + wt * v1
             sq1 = sq1 + wt * v1 * v1
             sw = sw + wt
-        var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
-        denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1, 1e-16))
-        ncc = jnp.clip(num / denom, -1.0, 1.0)
-        score = 1.0 - ncc
-        bad = (oob | (var1 <= 1e-12)
-               | (stats.norm_sq0 <= cfg.min_patch_variance ** 2))
-        return jnp.where(bad, th_robust, score), bad
+        return jnp.stack([num, s1, sq1, sw])
 
-    scores, bad = jax.vmap(per_view)(geom.A, geom.wv, src_grays)
-    return scores, bad
+    warped, valid_c, oob = jax.vmap(center_warp)(geom.A, geom.wv, src_grays)
+    acc = jax.vmap(corner_acc)(geom.A, geom.wv, src_grays)
+    warped_pad = jnp.pad(warped, ((0, 0), (pad, pad), (pad, pad)),
+                         mode="edge")
+    valid_pad = jnp.pad(valid_c.astype(jnp.float32),
+                        ((0, 0), (pad, pad), (pad, pad)))
+
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from hcmvs_tpu.ops.pallas_zncc import zncc_warped_pallas
+        score, var1 = zncc_warped_pallas(
+            stats.ref_pad, stats.tm, stats.norm_sq0, warped_pad, valid_pad,
+            hw, acc, scan_offsets, pad)
+    else:
+        v_ds = _stacked_shifts(stats.ref_pad, pad, scan_offsets, h, w)
+        offs = jnp.asarray(scan_offsets, jnp.float32)
+
+        def per_view(w_pad, vwarp_pad, acc_v):
+            # patch stats from static shifts of the warped image; samples
+            # whose source pixel was invalid are masked out of the window
+            w_ds = _stacked_shifts(w_pad, pad, scan_offsets, h, w)
+            vv_ds = _stacked_shifts(vwarp_pad, pad, scan_offsets, h, w)
+
+            def step(carry, inp):
+                num, s1, sq1, sw = carry
+                v_d, w_d, ok, off = inp
+                wt = _weights_traced(ref_center, v_d, off[0], off[1],
+                                     hw) * ok
+                return (num + wt * (v_d - stats.tm) * w_d,
+                        s1 + wt * w_d,
+                        sq1 + wt * w_d * w_d,
+                        sw + wt), None
+
+            (num, s1, sq1, sw), _ = jax.lax.scan(
+                step, (acc_v[0], acc_v[1], acc_v[2], acc_v[3]),
+                (v_ds, w_ds, vv_ds, offs))
+            var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
+            denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1, 1e-16))
+            ncc = jnp.clip(num / denom, -1.0, 1.0)
+            return 1.0 - ncc, var1
+
+        score, var1 = jax.vmap(per_view)(warped_pad, valid_pad, acc)
+
+    bad = (oob | (var1 <= 1e-12)
+           | (stats.norm_sq0 <= cfg.min_patch_variance ** 2)[None])
+    return jnp.where(bad, th_robust, score), bad
 
 
 def score_photometric(geom: ViewGeometry, src_grays: jax.Array,

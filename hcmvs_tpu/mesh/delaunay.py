@@ -12,8 +12,9 @@ keeps the heavy regular work (ray sampling) vectorized:
   along all rays at once and batch-locate them with ``find_simplex`` — the
   vectorized replacement for the reference's per-ray tetra walking.
 - Free-space votes flow to the source, behind-the-point votes to the sink,
-  inter-tetra facets get a smoothness capacity; min-cut via
-  scipy.sparse.csgraph.maximum_flow (the BK/IBFS stand-in).
+  inter-tetra facets get a smoothness capacity; min-cut via the native
+  BK-style solver (hcmvs_tpu/native/maxflow.cpp — the IBFS analog), with
+  a scipy fallback when no toolchain is available.
 - The surface is the set of facets separating free from full tetrahedra,
   oriented toward free space.
 """
@@ -23,9 +24,9 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
-from scipy.sparse import coo_matrix, csr_matrix
-from scipy.sparse.csgraph import maximum_flow
 from scipy.spatial import Delaunay
+
+from hcmvs_tpu import native
 
 
 class SurfaceMesh(NamedTuple):
@@ -38,8 +39,7 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
                      n_ray_samples: int = 8,
                      alpha_vis: float = 1.0,
                      lambda_smooth: float = 0.2,
-                     behind_scale: float = 0.01,
-                     cap_quantum: float = 0.05) -> SurfaceMesh:
+                     behind_scale: float = 0.01) -> SurfaceMesh:
     """Reconstruct a surface from an oriented point cloud with visibility.
 
     Args:
@@ -52,7 +52,6 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
       lambda_smooth: facet smoothness capacity.
       behind_scale: how far behind the point the full-space vote lands,
         as a fraction of the camera-point distance.
-      cap_quantum: quantization step for integer max-flow capacities.
 
     Returns a SurfaceMesh (vertices are the input points).
     """
@@ -128,46 +127,24 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
     _vote(behind_q, t_cap)
     _vote(front_q, s_cap)
 
-    # ---- graph construction ----
-    # nodes: [0..nt) tetras, nt = source, nt+1 = sink
-    src, dst, cap = [], [], []
+    # ---- graph construction + min-cut ----
+    # nodes: tetras; terminal caps from the visibility votes; pairwise
+    # smoothness on shared facets (each unordered pair emitted once)
     neigh = tri.neighbors                                # (nt, 4)
     ti = np.repeat(np.arange(nt), 4)
     tj = neigh.reshape(-1)
-    ok = tj >= 0
+    ok = (tj >= 0) & (ti < tj)
     ti, tj = ti[ok], tj[ok]
-    # smoothness capacity both directions (each appears twice; fine)
-    src.append(ti)
-    dst.append(tj)
-    cap.append(np.full(len(ti), lambda_smooth))
+    cap_pair = np.full(len(ti), lambda_smooth, np.float32)
     # NOTE: no blanket hull->free bias (the reference's kInf hull weights
     # suit closed objects scanned from all sides); for open surfaces the
     # far-side hull must be allowed to stay "full" or the cut oscillates
     # to the back of the point slab.
-
-    S, T = nt, nt + 1
-    nz_s = np.nonzero(s_cap > 0)[0]
-    src.append(np.full(len(nz_s), S))
-    dst.append(nz_s)
-    cap.append(s_cap[nz_s])
-    nz_t = np.nonzero(t_cap > 0)[0]
-    src.append(nz_t)
-    dst.append(np.full(len(nz_t), T))
-    cap.append(t_cap[nz_t])
-
-    src = np.concatenate(src)
-    dst = np.concatenate(dst)
-    cap = np.concatenate(cap)
-    icap = np.maximum((cap / cap_quantum).astype(np.int64), 1)
-    graph = coo_matrix((icap, (src, dst)), shape=(nt + 2, nt + 2)).tocsr()
-    graph.sum_duplicates()
-
-    flow = maximum_flow(graph, S, T)
-    # source side of the residual graph = free space
-    resid = graph - flow.flow
-    free = _reachable_from(resid, S, nt + 2)
-    labels = np.zeros(nt + 2, bool)
-    labels[free] = True                                  # True = free space
+    _, free_side = native.maxflow(nt, ti.astype(np.int32),
+                                  tj.astype(np.int32), cap_pair, cap_pair,
+                                  s_cap.astype(np.float32),
+                                  t_cap.astype(np.float32))
+    labels = np.concatenate([free_side, [False, False]])  # True = free
 
     # ---- extract the cut surface ----
     faces = []
@@ -204,14 +181,3 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
     faces = (np.concatenate(faces).astype(np.int32) if faces
              else np.zeros((0, 3), np.int32))
     return SurfaceMesh(vertices=points.astype(np.float32), faces=faces)
-
-
-def _reachable_from(graph: csr_matrix, start: int, n: int) -> np.ndarray:
-    """BFS over positive-capacity residual edges."""
-    from scipy.sparse.csgraph import breadth_first_order
-    pos = graph.copy()
-    pos.data = (pos.data > 0).astype(np.int64)
-    pos.eliminate_zeros()
-    order = breadth_first_order(pos, start, directed=True,
-                                return_predecessors=False)
-    return order

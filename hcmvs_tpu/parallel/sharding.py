@@ -50,9 +50,11 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
     def nshard(*spec):
         return NamedSharding(mesh, P(*spec))
 
-    img3 = nshard("view", "tile", None)       # (N, H, W)
-    img4 = nshard("view", "tile", None, None)  # (N, H, W, C)
-    per_img = nshard("view")                  # (N,)
+    img3 = nshard("view", "tile", None)        # (N, H, W)
+    # planes-first fields (dense/types.py LAYOUT RULE): (N, C, H, W) —
+    # rows are axis 2, so the tile axis shards dim 2
+    planes4 = nshard("view", None, "tile", None)
+    per_img = nshard("view")                   # (N,)
     repl = nshard()
 
     tensors = SceneTensors(
@@ -61,8 +63,8 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
         nbr_idx=nshard("view", None),
         nbr_valid=nshard("view", None),
         d_min=per_img, d_max=per_img,
-        seed_depth=img3, flows=img4, prior_depth=img3)
-    state = SceneState(depth=img3, normal=img4, cost=img3,
+        seed_depth=img3, flows=planes4, prior_depth=img3)
+    state = SceneState(depth=img3, normal=planes4, cost=img3,
                        keys=nshard("view", None))
     return tensors, state
 

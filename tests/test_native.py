@@ -1,0 +1,73 @@
+"""Tests for the native (C++) components: BK max-flow vs scipy."""
+
+import numpy as np
+import pytest
+
+from hcmvs_tpu import native
+
+
+def _random_instance(rng, n, m):
+    eu = rng.integers(0, n, m).astype(np.int32)
+    ev = rng.integers(0, n, m).astype(np.int32)
+    keep = eu != ev
+    eu, ev = eu[keep], ev[keep]
+    cap_uv = rng.integers(0, 20, len(eu)).astype(np.float32)
+    cap_vu = rng.integers(0, 20, len(eu)).astype(np.float32)
+    cap_src = np.where(rng.random(n) < 0.3,
+                       rng.integers(1, 30, n), 0).astype(np.float32)
+    cap_snk = np.where(rng.random(n) < 0.3,
+                       rng.integers(1, 30, n), 0).astype(np.float32)
+    return eu, ev, cap_uv, cap_vu, cap_src, cap_snk
+
+
+def _cut_value(eu, ev, cap_uv, cap_vu, cap_src, cap_snk, side):
+    """Value of the cut induced by a source-side labeling."""
+    val = cap_snk[side].sum() + cap_src[~side].sum()
+    crosses = side[eu] & ~side[ev]
+    val += cap_uv[crosses].sum()
+    crosses_rev = side[ev] & ~side[eu]
+    val += cap_vu[crosses_rev].sum()
+    return float(val)
+
+
+@pytest.mark.skipif(not native.have_native_maxflow(),
+                    reason="no native toolchain")
+@pytest.mark.parametrize("seed", range(8))
+def test_maxflow_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    n = 60
+    eu, ev, cap_uv, cap_vu, cap_src, cap_snk = _random_instance(rng, n, 200)
+    f_native, side = native.maxflow(n, eu, ev, cap_uv, cap_vu,
+                                    cap_src, cap_snk)
+    f_scipy, _ = native._maxflow_scipy(n, eu, ev, cap_uv, cap_vu,
+                                       cap_src, cap_snk, quantum=1.0)
+    assert f_native == pytest.approx(f_scipy, abs=1e-3)
+    # min-cut duality: the value of the induced cut equals the max flow
+    cut = _cut_value(eu, ev, cap_uv, cap_vu, cap_src, cap_snk, side)
+    assert cut == pytest.approx(f_native, abs=1e-3)
+
+
+@pytest.mark.skipif(not native.have_native_maxflow(),
+                    reason="no native toolchain")
+def test_maxflow_trivial():
+    # single chain s -> 0 -> 1 -> t with bottleneck 2 in the middle
+    f, side = native.maxflow(
+        2, np.array([0], np.int32), np.array([1], np.int32),
+        np.array([2.0], np.float32), np.array([0.0], np.float32),
+        np.array([5.0, 0.0], np.float32), np.array([0.0, 7.0], np.float32))
+    assert f == pytest.approx(2.0)
+    assert side[0] and not side[1]
+
+
+@pytest.mark.skipif(not native.have_native_maxflow(),
+                    reason="no native toolchain")
+def test_maxflow_disconnected():
+    # no pairwise edges: flow = sum of min(src, snk) per node
+    n = 4
+    cap_src = np.array([3, 0, 5, 1], np.float32)
+    cap_snk = np.array([1, 2, 0, 4], np.float32)
+    f, side = native.maxflow(n, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32), np.zeros(0, np.float32),
+                             cap_src, cap_snk)
+    assert f == pytest.approx(1 + 0 + 0 + 1)
+    assert side[0] and side[2] and not side[1] and not side[3]
