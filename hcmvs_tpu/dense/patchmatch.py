@@ -193,6 +193,23 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
         cand_n.append(n_p)
         cand_v.append((d_p >= ctx.d_min * 0.8) & (d_p <= ctx.d_max * 1.2))
 
+    # view-spread: harvest each neighbor view's hypothesis at this pixel's
+    # projection and reproject it into the ref frame (ref:
+    # OPTDENSE::viewspread, DepthMap.cpp:1504-1608).  Scanned through the
+    # same scoring graph as the propagation candidates.
+    if cfg.view_spread and ctx.nbr_depth is not None:
+        vs_d, vs_n, vs_ok = S.view_spread_candidates(
+            ctx.geom, cur_d, ctx.rays, ctx.nbr_depth, ctx.nbr_normal)
+        vs_n = jnp.stack([jnp.stack(face_camera_t(
+            (vs_n[v, 0], vs_n[v, 1], vs_n[v, 2]),
+            (ctx.rays[0], ctx.rays[1], ctx.rays[2])))
+            for v in range(vs_d.shape[0])])
+        for v in range(vs_d.shape[0]):
+            cand_d.append(vs_d[v])
+            cand_n.append(vs_n[v])
+            cand_v.append(vs_ok[v] & (vs_d[v] >= ctx.d_min * 0.8)
+                          & (vs_d[v] <= ctx.d_max * 1.2))
+
     def prop_step(best, cand):
         d_p, n_p, valid = cand
         return consider(best, d_p, n_p, valid), None

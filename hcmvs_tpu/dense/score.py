@@ -445,6 +445,44 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
                               geom.K_inv_src, geom.F, nbr_depth, nbr_normal)
 
 
+def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
+                           rays: jax.Array, nbr_depth: jax.Array,
+                           nbr_normal: jax.Array
+                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Cross-view hypothesis harvesting (ref: OPTDENSE::viewspread,
+    DepthMap.cpp:1504-1608): map each pixel into every neighbor view with
+    its current depth, read that view's (depth, normal) there, and
+    reproject them into the reference frame as PatchMatch candidates.
+
+    Returns (cand_depth (V,H,W), cand_normal (V,3,H,W) facing the ref
+    camera, valid (V,H,W)).
+    """
+    h, w = depth.shape
+    X0 = (rays[0] * depth, rays[1] * depth, rays[2] * depth)
+
+    def per_view(R_rel, t_rel, K_src, K_inv_src, nbr_d, nbr_n):
+        X1 = mat3_apply(R_rel, X0)
+        X1 = (X1[0] + t_rel[0], X1[1] + t_rel[1], X1[2] + t_rel[2])
+        p1 = mat3_apply(K_src, X1)
+        inv_z1 = 1.0 / jnp.where(jnp.abs(p1[2]) < 1e-9, 1e-9, p1[2])
+        u1 = jnp.round(p1[0] * inv_z1)
+        v1 = jnp.round(p1[1] * inv_z1)
+        d1, ok_d = nearest_sample_xy(nbr_d, u1, v1)
+        n1 = tuple(nearest_sample_xy(nbr_n[i], u1, v1)[0] for i in range(3))
+        # back-project the neighbor's hypothesis into the ref frame
+        ray1 = mat3_apply(K_inv_src, (u1, v1, jnp.ones_like(u1)))
+        X1b = (ray1[0] * d1, ray1[1] * d1, ray1[2] * d1)
+        X0b = mat3_apply_t(R_rel, (X1b[0] - t_rel[0], X1b[1] - t_rel[1],
+                                   X1b[2] - t_rel[2]))
+        cand_d = X0b[2]
+        n_ref = normalize3(mat3_apply_t(R_rel, n1))
+        valid = ok_d & (d1 > 0) & (p1[2] > 0) & (cand_d > 0)
+        return cand_d, jnp.stack(n_ref), valid
+
+    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_src,
+                              geom.K_inv_src, nbr_depth, nbr_normal)
+
+
 def flow_score(geom: ViewGeometry, depth: jax.Array, rays: jax.Array,
                flow: jax.Array, view_idx: int = 0) -> jax.Array:
     """Optical-flow cross-consistency against the best neighbor: (H, W) in

@@ -104,6 +104,68 @@ def decimate_mesh(vertices: np.ndarray, faces: np.ndarray,
                     new_f.astype(faces.dtype))
 
 
+def close_holes(vertices: np.ndarray, faces: np.ndarray,
+                max_hole_size: int = 30) -> np.ndarray:
+    """Close boundary loops with up to ``max_hole_size`` edges by fanning
+    around the loop centroid (ref: Mesh::CloseHole/CloseHoleQuality,
+    frame_main/libs/MVS/Mesh.cpp:3156-3187; apps default --close-holes 30).
+
+    Returns ``(vertices, faces)`` — one centroid vertex is appended per
+    closed hole with more than 3 boundary edges.  Note: the outer boundary
+    of an open mesh is itself a loop; it is left open when longer than
+    ``max_hole_size``.
+    """
+    # boundary edges: appear in exactly one face (directed convention:
+    # faces wind consistently, so each boundary edge appears once as (a,b))
+    count = {}
+    for face in faces:
+        for k in range(3):
+            a, b = int(face[k]), int(face[(k + 1) % 3])
+            e = (min(a, b), max(a, b))
+            count[e] = count.get(e, 0) + 1
+    nxt = {}
+    for face in faces:
+        for k in range(3):
+            a, b = int(face[k]), int(face[(k + 1) % 3])
+            if count[(min(a, b), max(a, b))] == 1:
+                # boundary half-edge of the hole winds opposite the face
+                nxt[b] = a
+    new_faces = []
+    new_verts = []
+    visited = set()
+    for start in list(nxt.keys()):
+        if start in visited or start not in nxt:
+            continue
+        loop = [start]
+        visited.add(start)
+        cur = nxt[start]
+        ok = True
+        while cur != start:
+            if cur in visited or cur not in nxt or \
+                    len(loop) > max_hole_size:
+                ok = False
+                break
+            loop.append(cur)
+            visited.add(cur)
+            cur = nxt[cur]
+        if not ok or len(loop) < 3:
+            continue
+        if len(loop) == 3:
+            new_faces.append([loop[0], loop[1], loop[2]])
+        else:
+            cid = len(vertices) + len(new_verts)
+            new_verts.append(vertices[loop].mean(0))
+            for k in range(len(loop)):
+                new_faces.append([loop[k], loop[(k + 1) % len(loop)], cid])
+    if not new_faces:
+        return vertices, faces
+    verts_out = (np.concatenate([vertices, np.asarray(new_verts,
+                                                      vertices.dtype)])
+                 if new_verts else vertices)
+    return verts_out, np.concatenate(
+        [faces, np.asarray(new_faces, faces.dtype)])
+
+
 def laplacian_smooth(vertices: np.ndarray, faces: np.ndarray,
                      n_iters: int = 2, lam: float = 0.5) -> np.ndarray:
     """Uniform-weight Laplacian smoothing (ref: Clean's final smooth
@@ -127,13 +189,16 @@ def laplacian_smooth(vertices: np.ndarray, faces: np.ndarray,
 
 def clean_mesh(vertices: np.ndarray, faces: np.ndarray,
                decimate: float = 1.0, min_component_faces: int = 20,
-               smooth_iters: int = 2
+               smooth_iters: int = 2, max_hole_size: int = 30
                ) -> Tuple[np.ndarray, np.ndarray]:
-    """The Clean pipeline the apps run (ref: ReconstructMesh.cpp:278)."""
+    """The Clean pipeline the apps run (ref: ReconstructMesh.cpp:278 —
+    decimate, remove-spurious, close-holes 30, smooth 2)."""
     if decimate < 1.0:
         vertices, faces = decimate_mesh(vertices, faces, decimate)
     vertices, faces = remove_small_components(vertices, faces,
                                               min_component_faces)
+    if max_hole_size > 0:
+        vertices, faces = close_holes(vertices, faces, max_hole_size)
     if smooth_iters > 0:
         vertices = laplacian_smooth(vertices, faces, smooth_iters)
     return vertices, faces

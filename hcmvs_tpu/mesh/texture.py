@@ -163,15 +163,87 @@ def _charts(faces: np.ndarray, labels: np.ndarray) -> List[np.ndarray]:
     return charts
 
 
+def _sample_color(img: np.ndarray, uv: np.ndarray) -> np.ndarray:
+    """Nearest-pixel colors at (M, 2) uv; (M, 3) float in the image's
+    native scale, out-of-bounds clamped."""
+    h, w = img.shape[:2]
+    x = np.clip(np.round(uv[:, 0]).astype(int), 0, w - 1)
+    y = np.clip(np.round(uv[:, 1]).astype(int), 0, h - 1)
+    c = img[y, x]
+    if c.ndim == 1:
+        c = np.repeat(c[:, None], 3, 1)
+    return c.astype(np.float64)
+
+
+def global_seam_leveling(vertices: np.ndarray, faces: np.ndarray,
+                         labels: np.ndarray, charts: List[np.ndarray],
+                         images: List[np.ndarray], Ks, Rs, Cs,
+                         reg: float = 1e-3) -> np.ndarray:
+    """Per-chart additive color offsets that minimize seam discontinuity
+    (ref: SceneTexture.cpp global seam leveling — the reference solves
+    per-vertex offsets; per-chart constants capture the dominant
+    exposure/white-balance difference between views and keep the system
+    tiny).  Returns (n_charts, 3) offsets in the images' native scale.
+    """
+    n_charts = len(charts)
+    chart_of_face = np.full(len(faces), -1)
+    for ci, members in enumerate(charts):
+        chart_of_face[members] = ci
+    # seam edges: mesh edges shared by faces of different charts
+    edge_face = {}
+    pair_diffs = {}
+    for f_idx, face in enumerate(faces):
+        ca = chart_of_face[f_idx]
+        if ca < 0:
+            continue
+        for k in range(3):
+            a, b = face[k], face[(k + 1) % 3]
+            e = (min(a, b), max(a, b))
+            if e in edge_face:
+                o = edge_face[e]
+                cb = chart_of_face[o]
+                if cb >= 0 and cb != ca:
+                    key = (min(ca, cb), max(ca, cb))
+                    pair_diffs.setdefault(key, []).extend(e)
+            else:
+                edge_face[e] = f_idx
+    if not pair_diffs:
+        return np.zeros((n_charts, 3))
+    # least squares: o_a - o_b = -(col_a - col_b) at each seam, per channel
+    rows, rhs = [], []
+    for (ca, cb), vids in pair_diffs.items():
+        vids = np.unique(vids)
+        va = labels[charts[ca][0]]
+        vb = labels[charts[cb][0]]
+        uva, za = _project_np(Ks[va], Rs[va], Cs[va], vertices[vids])
+        uvb, zb = _project_np(Ks[vb], Rs[vb], Cs[vb], vertices[vids])
+        col_a = _sample_color(images[va], uva)
+        col_b = _sample_color(images[vb], uvb)
+        d = (col_a - col_b).mean(0)
+        r = np.zeros(n_charts)
+        r[ca], r[cb] = 1.0, -1.0
+        rows.append(r)
+        rhs.append(-d)
+    A = np.asarray(rows)
+    B = np.asarray(rhs)                       # (E, 3)
+    AtA = A.T @ A + reg * np.eye(n_charts)
+    return np.linalg.solve(AtA, A.T @ B)      # (n_charts, 3)
+
+
 def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
                  images: List[np.ndarray], Ks: np.ndarray, Rs: np.ndarray,
                  Cs: np.ndarray, atlas_size: int = 1024,
-                 padding: int = 2) -> TexturedMesh:
-    """Full texturing pass: label -> charts -> shelf-pack -> sample."""
+                 padding: int = 2, seam_leveling: bool = True
+                 ) -> TexturedMesh:
+    """Full texturing pass: label -> charts -> seam-level -> shelf-pack."""
     image_sizes = [(im.shape[1], im.shape[0]) for im in images]
     qual = face_view_quality(vertices, faces, Ks, Rs, Cs, image_sizes)
     labels = label_faces(faces, qual)
     charts = _charts(faces, labels)
+    offsets = (global_seam_leveling(vertices, faces, labels, charts,
+                                    images, Ks, Rs, Cs)
+               if seam_leveling and charts else
+               np.zeros((len(charts), 3)))
 
     atlas = np.zeros((atlas_size, atlas_size, 3), np.uint8)
     uvs = np.zeros((len(faces), 3, 2), np.float32)
@@ -215,8 +287,11 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
         patch = img[lo[1]:hi[1], lo[0]:hi[0]]
         if patch.ndim == 2:
             patch = np.repeat(patch[..., None], 3, -1)
-        if patch.dtype != np.uint8:
-            patch = np.clip(patch * 255, 0, 255).astype(np.uint8)
+        # seam leveling: per-chart color offset in the image's native scale
+        patch = patch.astype(np.float64) + offsets[ci]
+        if img.dtype != np.uint8:
+            patch = patch * 255
+        patch = np.clip(patch, 0, 255).astype(np.uint8)
         if scale != 1.0:
             import cv2
             patch = cv2.resize(patch, (sw, sh))

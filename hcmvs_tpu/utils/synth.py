@@ -233,3 +233,26 @@ def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
     return PlaneScene(cameras=cams, images=images, depth_gt=depth_ref,
                       normal_gt=n_cam, n_w=n_w, c_w=c_w,
                       d_min=d_min, d_max=d_max)
+
+
+def plane_depth_of_view(scene: PlaneScene, view: int) -> np.ndarray:
+    """Ground-truth depth of any view from the world plane n_w . X = c_w."""
+    cam = scene.cameras[view]
+    h, w = scene.images[view].shape
+    u, v = np.meshgrid(np.arange(w, dtype=np.float64),
+                       np.arange(h, dtype=np.float64))
+    K_inv = np.linalg.inv(cam.K)
+    rc = np.stack([u, v, np.ones_like(u)])            # (3, H, W) cam rays
+    dir_w = np.einsum("ji,jhw->ihw", cam.R, np.einsum(
+        "ij,jhw->ihw", K_inv, rc))                    # R^T K^-1 p
+    denom = np.einsum("i,ihw->hw", scene.n_w, dir_w)
+    s = (scene.c_w - scene.n_w @ cam.C) / np.where(
+        np.abs(denom) < 1e-12, 1e-12, denom)
+    return s.astype(np.float32)                       # rc_z == 1 => depth
+
+
+def plane_normal_of_view(scene: PlaneScene, view: int) -> np.ndarray:
+    """(3,) GT plane normal in the view's camera frame, facing the camera."""
+    cam = scene.cameras[view]
+    n_c = cam.R @ scene.n_w
+    return (-n_c if n_c[2] > 0 else n_c).astype(np.float32)

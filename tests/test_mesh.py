@@ -111,3 +111,69 @@ def test_face_labeling_and_texture(tmp_path):
     assert "mtllib" in txt
     import os
     assert os.path.exists(str(tmp_path / "mesh.png"))
+
+
+def test_close_holes():
+    """A grid mesh with a punched-out interior quad gets re-closed
+    (ref: Mesh::CloseHole, Mesh.cpp:3156)."""
+    from hcmvs_tpu.mesh.mesh_ops import close_holes
+    n = 6
+    ys, xs = np.mgrid[0:n, 0:n]
+    verts = np.stack([xs.ravel(), ys.ravel(),
+                      np.zeros(n * n)], 1).astype(np.float32)
+    faces = []
+    for y in range(n - 1):
+        for x in range(n - 1):
+            a = y * n + x
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    faces = np.asarray(faces, np.int32)
+    # punch a hole: remove the 4 faces around vertex (2,2)-(3,3) quad
+    hole = []
+    for i, f in enumerate(faces):
+        pts = verts[f][:, :2]
+        if (pts[:, 0].min() >= 2 and pts[:, 0].max() <= 3
+                and pts[:, 1].min() >= 2 and pts[:, 1].max() <= 3):
+            hole.append(i)
+    assert len(hole) == 2
+    kept = np.delete(faces, hole, axis=0)
+    v2, f2 = close_holes(verts, kept, max_hole_size=8)
+    # hole closed: boundary edge count inside the mesh back to zero (the
+    # outer rim stays open, it is longer than max_hole_size)
+    from collections import Counter
+    cnt = Counter()
+    for f in f2:
+        for k in range(3):
+            e = (min(f[k], f[(k + 1) % 3]), max(f[k], f[(k + 1) % 3]))
+            cnt[e] += 1
+    boundary = [e for e, c in cnt.items() if c == 1]
+    interior_boundary = [e for e in boundary
+                         if not (verts[min(e, key=int)][0] in (0, n - 1))]
+    # every boundary edge must lie on the outer rim
+    for (a, b) in boundary:
+        pa, pb = v2[a][:2], v2[b][:2]
+        on_rim = (lambda p: p[0] in (0, n - 1) or p[1] in (0, n - 1))
+        assert on_rim(pa) and on_rim(pb), (pa, pb)
+
+
+def test_global_seam_leveling_reduces_seam():
+    """Two views of a plane with a brightness offset: the per-chart
+    offsets cancel the exposure difference."""
+    from hcmvs_tpu.mesh.texture import global_seam_leveling
+    rng = np.random.default_rng(0)
+    # two triangles sharing an edge; each labeled to a different view
+    verts = np.array([[0, 0, 5], [1, 0, 5], [0, 1, 5], [1, 1, 5]],
+                     np.float64)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    labels = np.array([0, 1])
+    charts = [np.array([0]), np.array([1])]
+    K = np.array([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+    R = np.eye(3)
+    C0 = np.zeros(3)
+    img0 = np.full((64, 64, 3), 100, np.uint8)
+    img1 = np.full((64, 64, 3), 140, np.uint8)  # +40 exposure offset
+    off = global_seam_leveling(verts, faces, labels, charts,
+                               [img0, img1], np.stack([K, K]),
+                               np.stack([R, R]), np.stack([C0, C0]))
+    # corrected seam difference ~ 0: (100 + o0) == (140 + o1)
+    assert abs((100 + off[0, 0]) - (140 + off[1, 0])) < 1.0

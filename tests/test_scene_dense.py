@@ -148,3 +148,50 @@ def test_view_selection(scene):
     d_min, d_max = depth_range_from_points(pts, counts, ids, R, C, 0)
     assert 0 < d_min < z.min() + 0.1
     assert d_max > z.max() - 0.1
+
+
+def test_view_spread_candidates(scene):
+    """OPTDENSE::viewspread: estimation with cross-view hypothesis
+    harvesting stays accurate (ref: DepthMap.cpp:1504-1608)."""
+    from hcmvs_tpu.utils.synth import plane_depth_of_view
+    tensors = _scene_tensors(scene)
+    cfg = CFG.replace(view_spread=1, estimation_iters=1,
+                      estimation_iters_external=2, random_iters=2)
+    state = estimate_scene(jax.random.PRNGKey(3), tensors, cfg)
+    depth, _, conf = finalize(state, cfg)
+    gt = jnp.stack([jnp.asarray(plane_depth_of_view(scene, j))
+                    for j in range(len(scene.cameras))])
+    valid = (depth > 0) & (gt > 0)
+    rel = jnp.abs(depth - gt) / gt
+    acc = float(jnp.sum((rel < 0.02) & valid) / jnp.sum(valid))
+    assert acc > 0.5
+
+
+def test_view_spread_transfers_exact_hypothesis(scene):
+    """A neighbor holding the ground-truth plane spreads it to a view
+    initialized randomly: candidates must include the true depth."""
+    from hcmvs_tpu.dense.score import view_spread_candidates
+    from hcmvs_tpu.dense.types import make_view_geometry, pixel_rays
+    tensors = _scene_tensors(scene)
+    i = 0
+    cam_i = jax.tree.map(lambda x: x[i], tensors.cams)
+    cams_nbr = jax.tree.map(lambda x: x[tensors.nbr_idx[i]], tensors.cams)
+    geom = make_view_geometry(cam_i, cams_nbr)
+    from hcmvs_tpu.utils.synth import (plane_depth_of_view,
+                                       plane_normal_of_view)
+    h, w = scene.images[0].shape
+    rays = pixel_rays(geom.K_inv_ref, h, w)
+    nbrs = np.asarray(tensors.nbr_idx[i])
+    gt = jnp.stack([jnp.asarray(plane_depth_of_view(scene, j))
+                    for j in nbrs])
+    gt_n = jnp.stack([jnp.broadcast_to(
+        jnp.asarray(plane_normal_of_view(scene, j))[:, None, None],
+        (3, h, w)) for j in nbrs])
+    cand_d, cand_n, ok = view_spread_candidates(
+        geom, jnp.asarray(plane_depth_of_view(scene, i)), rays, gt, gt_n)
+    ref_gt = jnp.asarray(plane_depth_of_view(scene, i))
+    # where valid, the reprojected neighbor depth matches this view's GT
+    rel = jnp.abs(cand_d[0] - ref_gt) / ref_gt
+    frac = float(jnp.sum((rel < 0.02) & ok[0]) / jnp.maximum(
+        jnp.sum(ok[0]), 1))
+    assert frac > 0.8
