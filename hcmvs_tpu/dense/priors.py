@@ -174,14 +174,113 @@ def prior_depth_map(labels: jax.Array, planes: jax.Array,
     return jnp.where(ok, depth, 0.0)
 
 
+@partial(jax.jit, static_argnames=("n_labels", "n_hyps", "radius"))
+def ransac_segment_planes(key: jax.Array, labels: jax.Array,
+                          depth: jax.Array, n_labels: int,
+                          n_hyps: int = 64, radius: int = 12,
+                          epsilon: float = 0.01
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Static-shape RANSAC plane fit per segment (the vmapped replacement
+    for the reference's CGAL Efficient_RANSAC in GenerateDepthPrior /
+    GenerateSuperDepthPrior, SceneDensify.cpp:1171-1950; thresholds follow
+    the fransacEpsilonMul family of flags).
+
+    Sampling trick that keeps everything static-shape: each hypothesis
+    draws one anchor pixel plus two pixels within ``radius`` of it — the
+    triplet is valid iff all three share the anchor's segment and carry
+    depth.  Each segment then keeps its best-scoring hypothesis (masked
+    inlier counting + segment_max), so segments compete only over their
+    own anchored hypotheses.
+
+    Planes use the inverse-depth-affine parameterization of
+    fit_segment_planes.  Returns (planes (L,3), inlier_frac (L,),
+    count (L,)).
+    """
+    h, w = depth.shape
+    flat_lbl = labels.reshape(-1)
+    z_flat = 1.0 / jnp.maximum(depth.reshape(-1), 1e-9)
+    valid_flat = depth.reshape(-1) > 0
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    u_flat = xx.reshape(-1)
+    v_flat = yy.reshape(-1)
+
+    k0, k1 = jax.random.split(key)
+    anchor = jax.random.randint(k0, (n_hyps,), 0, h * w)
+    offs = jax.random.randint(k1, (n_hyps, 2, 2), -radius, radius + 1)
+    ay = anchor // w
+    ax = anchor % w
+    py = jnp.clip(ay[:, None] + offs[:, :, 0], 0, h - 1)
+    px = jnp.clip(ax[:, None] + offs[:, :, 1], 0, w - 1)
+    idx = jnp.concatenate([anchor[:, None], py * w + px], axis=1)  # (K,3)
+
+    seg = flat_lbl[idx[:, 0]]
+    same = ((flat_lbl[idx[:, 1]] == seg) & (flat_lbl[idx[:, 2]] == seg)
+            & valid_flat[idx].all(axis=1))
+    # plane through the 3 samples: [u v 1] p = 1/d
+    A = jnp.stack([u_flat[idx], v_flat[idx],
+                   jnp.ones_like(u_flat[idx])], axis=-1)       # (K, 3, 3)
+    zz = z_flat[idx]                                            # (K, 3)
+    det_ok = jnp.abs(jnp.linalg.det(A)) > 1e-6
+    A_safe = jnp.where(det_ok[:, None, None], A, jnp.eye(3)[None])
+    hyp_planes = jnp.linalg.solve(A_safe, zz[..., None])[..., 0]
+    hyp_valid = same & det_ok
+
+    # masked inlier counting: (K, P) residuals restricted to the segment
+    pred = (hyp_planes[:, 0:1] * u_flat[None] + hyp_planes[:, 1:2]
+            * v_flat[None] + hyp_planes[:, 2:3])                # (K, P)
+    in_seg = (flat_lbl[None] == seg[:, None]) & valid_flat[None]
+    inl = (jnp.abs(z_flat[None] - pred) < epsilon) & in_seg
+    score = jnp.where(hyp_valid, inl.sum(axis=1), -1)           # (K,)
+
+    # per-segment best hypothesis (segment_max + tie-break by match)
+    best = jax.ops.segment_max(score, seg, n_labels)            # (L,)
+    is_best = hyp_valid & (score == best[seg]) & (score > 0)
+    # resolve ties: lowest hypothesis index wins
+    hyp_ids = jnp.arange(n_hyps)
+    win = jax.ops.segment_min(jnp.where(is_best, hyp_ids, n_hyps), seg,
+                              n_labels)                         # (L,)
+    has_plane = win < n_hyps
+    planes = jnp.where(has_plane[:, None],
+                       hyp_planes[jnp.minimum(win, n_hyps - 1)], 0.0)
+
+    # stats of the winning plane over its segment
+    pred_seg = (planes[flat_lbl, 0] * u_flat + planes[flat_lbl, 1] * v_flat
+                + planes[flat_lbl, 2])
+    inl_seg = (jnp.abs(z_flat - pred_seg) < epsilon) & valid_flat
+    cnt = jax.ops.segment_sum(valid_flat.astype(jnp.float32), flat_lbl,
+                              n_labels)
+    icnt = jax.ops.segment_sum(inl_seg.astype(jnp.float32), flat_lbl,
+                               n_labels)
+    frac = jnp.where(has_plane, icnt / jnp.maximum(cnt, 1.0), 0.0)
+    return planes, frac, cnt
+
+
 def generate_priors(gray: jax.Array, depth: jax.Array, rays: jax.Array,
-                    grid_step: int = 16) -> jax.Array:
+                    grid_step: int = 16,
+                    semantic: "jax.Array | None" = None,
+                    n_semantic_labels: int = 0,
+                    key: "jax.Array | None" = None) -> jax.Array:
     """Full prior pass for one view (the GenerateSuperDepthPrior +
-    GenerateFinalPrior analog): superpixels on the image, robust planes on
-    the current depth, prior depth where planes are trustworthy."""
+    GenerateDepthPrior + GenerateFinalPrior analog): superpixels on the
+    image, robust planes on the current depth, prior depth where planes
+    are trustworthy.  With a ``semantic`` label map (the reference's
+    nUseSemantic mask path), RANSAC planes fit per semantic region are
+    merged over the superpixel prior (semantic wins where valid — the
+    GenerateFinalPrior merge, SceneDensify.cpp:1079-1161)."""
     h, w = gray.shape
     gh = max(h // grid_step, 1)
     gw = max(w // grid_step, 1)
     labels = slic_superpixels(gray, grid_step)
     planes, frac, cnt = fit_segment_planes(labels, depth, rays, gh * gw)
-    return prior_depth_map(labels, planes, frac, cnt, gh * gw)
+    prior = prior_depth_map(labels, planes, frac, cnt, gh * gw)
+    if semantic is not None and n_semantic_labels > 0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sp, sf, sc = ransac_segment_planes(key, semantic, depth,
+                                           n_semantic_labels)
+        sem_prior = prior_depth_map(semantic, sp, sf, sc,
+                                    n_semantic_labels, min_support=100,
+                                    min_inlier_frac=0.5)
+        prior = jnp.where(sem_prior > 0, sem_prior, prior)
+    return prior

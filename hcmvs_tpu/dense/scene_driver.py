@@ -54,6 +54,7 @@ class SceneTensors:
     seed_depth: Optional[jax.Array] = None   # (N, H, W) sparse-splat init
     flows: Optional[jax.Array] = None        # (N, 2, H, W) ref->best nbr
     prior_depth: Optional[jax.Array] = None  # (N, H, W)
+    semantic: Optional[jax.Array] = None     # (N, H, W) int32 mask labels
 
 
 @jax.tree_util.register_dataclass
@@ -173,23 +174,33 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
     return state
 
 
-@partial(jax.jit, static_argnames=())
-def _priors_batched(gray: jax.Array, depth: jax.Array,
-                    cams: Camera) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_semantic",))
+def _priors_batched(key: jax.Array, gray: jax.Array, depth: jax.Array,
+                    cams: Camera, semantic: Optional[jax.Array],
+                    n_semantic: int) -> jax.Array:
     from hcmvs_tpu.dense.priors import generate_priors
     n, h, w = gray.shape
+    keys = jax.random.split(key, n)
 
-    def per_view(g, d, cam):
+    def per_view(k, g, d, cam, sem):
         rays = pixel_rays(cam.K_inv, h, w)
-        return generate_priors(g, d, rays)
+        return generate_priors(g, d, rays, semantic=sem,
+                               n_semantic_labels=n_semantic, key=k)
 
-    return jax.vmap(per_view)(gray, depth, cams)
+    if semantic is None:
+        return jax.vmap(lambda k, g, d, c: generate_priors(
+            g, d, pixel_rays(c.K_inv, h, w)))(keys, gray, depth, cams)
+    return jax.vmap(per_view)(keys, gray, depth, cams, semantic)
 
 
 def compute_scene_priors(state: SceneState,
                          scene: SceneTensors) -> SceneTensors:
-    """Attach per-view planar-prior depth maps to the scene."""
-    priors = _priors_batched(scene.gray, state.depth, scene.cams)
+    """Attach per-view planar-prior depth maps to the scene (with the
+    semantic-mask RANSAC path when masks are present — nUseSemantic)."""
+    n_sem = (int(jnp.max(scene.semantic)) + 1
+             if scene.semantic is not None else 0)
+    priors = _priors_batched(jax.random.PRNGKey(7), scene.gray, state.depth,
+                             scene.cams, scene.semantic, n_sem)
     return dataclasses.replace(scene, prior_depth=priors)
 
 

@@ -63,7 +63,8 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
         nbr_idx=nshard("view", None),
         nbr_valid=nshard("view", None),
         d_min=per_img, d_max=per_img,
-        seed_depth=img3, flows=planes4, prior_depth=img3)
+        seed_depth=img3, flows=planes4, prior_depth=img3,
+        semantic=img3)
     state = SceneState(depth=img3, normal=planes4, cost=img3,
                        keys=nshard("view", None))
     return tensors, state

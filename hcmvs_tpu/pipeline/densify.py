@@ -77,8 +77,19 @@ def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
 
 def densify(scene_path: str, images_dir: str, out_dir: str,
             cfg: Optional[DenseConfig] = None,
-            init_state_maps=None, verbose: bool = True) -> Dict:
-    """Full densification of a `.mvs` scene; returns summary stats."""
+            init_state_maps=None, verbose: bool = True,
+            resume: bool = True,
+            filter_point_cloud: Optional[int] = None) -> Dict:
+    """Full densification of a `.mvs` scene; returns summary stats.
+
+    ``resume``: when every per-view ``depth%04d.dmap`` already exists in
+    the output, estimation is skipped and the maps are loaded — the
+    reference's per-image resumability (ref: File::access check in
+    DenseReconstructionEstimate, SceneDensify.cpp:3865-3880).
+    ``filter_point_cloud``: when set, run the visibility filter on the
+    fused cloud with this threshold (the --filter-point-cloud mode).
+    """
+    from hcmvs_tpu.utils.profiling import stage_timer
     cfg = cfg or DenseConfig()
     os.makedirs(out_dir, exist_ok=True)
     scene = read_mvs(scene_path)
@@ -111,22 +122,33 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
         flows = scene_flows(np.stack(grays), nbr_idx)
 
     tensors = build_scene_tensors(scene, grays, cfg, flows)
+    dmap_dir = os.path.join(out_dir, "depthmap")
+    dmap_path = lambda i: os.path.join(dmap_dir, f"depth{i:04d}.dmap")  # noqa: E731
     t0 = time.time()
-    state = estimate_scene(jax.random.PRNGKey(0), tensors, cfg,
-                           verbose=verbose)
-    depth, normal, conf = finalize(state, cfg)
+    if resume and all(os.path.exists(dmap_path(i)) for i in range(n)):
+        # per-image resumability: all maps exist, skip estimation
+        from hcmvs_tpu.io.dmap import read_dmap
+        loaded = [read_dmap(dmap_path(i)) for i in range(n)]
+        depth = jnp.stack([jnp.asarray(d.depth) for d in loaded])
+        normal = jnp.stack([jnp.asarray(np.moveaxis(d.normal, -1, 0))
+                            for d in loaded])
+        conf = jnp.stack([jnp.asarray(d.conf) for d in loaded])
+    else:
+        with stage_timer("densify.estimate", log=verbose):
+            state = estimate_scene(jax.random.PRNGKey(0), tensors, cfg,
+                                   verbose=verbose)
+            depth, normal, conf = finalize(state, cfg)
     wall = time.time() - t0
 
     # save per-view .dmap artifacts (the stage-handoff format; ref:
     # SceneDensify.cpp:3984-3992 saving depthmap/ and normalmap/)
-    dmap_dir = os.path.join(out_dir, "depthmap")
     os.makedirs(dmap_dir, exist_ok=True)
     depth_np = np.asarray(depth)
     normal_np = np.asarray(normal)
     conf_np = np.asarray(conf)
     for i in range(n):
         R, C = scene.pose_of(i)
-        write_dmap(os.path.join(dmap_dir, f"depth{i:04d}.dmap"),
+        write_dmap(dmap_path(i),
                    DepthMapData(
                        depth=depth_np[i],
                        normal=np.moveaxis(normal_np[i], 0, -1),
@@ -141,10 +163,23 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     # fuse to a point cloud
     priority = jnp.asarray(np.argsort(np.argsort(
         -np.asarray(tensors.nbr_valid).sum(1))), jnp.float32)
-    fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
-                             tensors.nbr_idx, tensors.nbr_valid, priority,
-                             cfg)
-    cloud = compact_point_cloud(fused)
+    with stage_timer("densify.fuse", log=verbose):
+        fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
+                                 tensors.nbr_idx, tensors.nbr_valid,
+                                 priority, cfg)
+        cloud = compact_point_cloud(fused)
+    owner0 = np.nonzero(np.asarray(fused["keep"]).reshape(n, -1))[0]
+    if filter_point_cloud is not None and len(cloud["points"]):
+        from hcmvs_tpu.dense.point_filter import filter_point_cloud as fpc
+        counts = np.ones(len(cloud["points"]), np.int32)
+        with stage_timer("densify.point_filter", log=verbose):
+            keep = fpc(cloud["points"], counts, owner0.astype(np.uint32),
+                       tensors.cams, grays[0].shape,
+                       th_remove=filter_point_cloud)
+        cloud = {k: (v[keep] if isinstance(v, np.ndarray)
+                     and len(v) == len(keep) else v)
+                 for k, v in cloud.items()}
+        owner0 = owner0[keep]
     write_ply_points(os.path.join(out_dir, "scene_dense.ply"),
                      cloud["points"], cloud["normals"])
 
@@ -159,8 +194,7 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
                                np.float32))
     # view lists: emit owner view only (full lists tracked as follow-up)
     dense_scene.point_view_counts = np.ones(len(cloud["points"]), np.int32)
-    owner = np.nonzero(np.asarray(fused["keep"]).reshape(n, -1))
-    dense_scene.point_view_ids = owner[0].astype(np.uint32)
+    dense_scene.point_view_ids = owner0.astype(np.uint32)
     dense_scene.point_view_confs = np.ones(len(cloud["points"]), np.float32)
     write_mvs(os.path.join(out_dir, "scene_dense.mvs"), dense_scene)
 
@@ -180,13 +214,22 @@ def main(argv=None):
     ap.add_argument("--flags", nargs="*", default=[],
                     help="reference-style flag=value pairs, e.g. "
                          "resolution-level=2 n-EstimationIters=3")
+    ap.add_argument("--filter-point-cloud", type=int, default=None,
+                    help="visibility-filter threshold (ref: negative "
+                         "values, e.g. -1)")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="re-estimate even if depth*.dmap files exist")
     args = ap.parse_args(argv)
     flags = dict(f.split("=", 1) for f in args.flags)
     cfg = config_from_cli_flags(flags)
     images_dir = args.images_dir or os.path.dirname(args.input_file)
-    stats = densify(args.input_file, images_dir, args.working_dir, cfg)
+    stats = densify(args.input_file, images_dir, args.working_dir, cfg,
+                    resume=not args.no_resume,
+                    filter_point_cloud=args.filter_point_cloud)
     print({k: v for k, v in stats.items()
            if k not in ("depth", "normal", "conf")})
+    from hcmvs_tpu.utils.profiling import log_report
+    log_report()
 
 
 if __name__ == "__main__":

@@ -120,3 +120,25 @@ def test_hierarchy_two_level_run(scene, tmp_path):
     rel = np.abs(d[interior] - scene.depth_gt[interior]) / \
         scene.depth_gt[interior]
     assert np.median(rel) < 0.02
+
+
+def test_densify_resume_and_profiling(tmp_path, scene):
+    """Per-image resume: a second densify() run loads the existing .dmap
+    files instead of re-estimating (ref: SceneDensify.cpp:3865-3880), and
+    the profiling report records the stages."""
+    from hcmvs_tpu.utils import profiling
+    cfg = CFG
+    scene_path, images_dir = _write_scene(tmp_path, scene)
+    out = str(tmp_path / "out")
+    profiling.reset_report()
+    s1 = densify(scene_path, images_dir, out, cfg, verbose=False)
+    rep = profiling.report()
+    assert "densify.estimate" in rep and rep["densify.estimate"]["calls"] == 1
+    s2 = densify(scene_path, images_dir, out, cfg, verbose=False)
+    # no second estimation happened
+    assert profiling.report()["densify.estimate"]["calls"] == 1
+    np.testing.assert_allclose(s2["depth"], s1["depth"], atol=1e-4)
+    # and the visibility filter path runs end-to-end
+    s3 = densify(scene_path, images_dir, out, cfg, verbose=False,
+                 filter_point_cloud=-3)
+    assert s3["n_points"] <= s1["n_points"]

@@ -86,3 +86,60 @@ def test_point_cloud_fscore():
     assert s["precision"] == pytest.approx(0.8, abs=0.05)
     assert s["recall"] > 0.75
     assert 0.7 < s["fscore"] < 0.95
+
+
+def test_ransac_segment_planes_recovers_plane():
+    """RANSAC planes on a two-segment mask recover each segment's plane
+    despite heavy outliers (ref: GenerateDepthPrior RANSAC path)."""
+    import jax
+    import jax.numpy as jnp
+    from hcmvs_tpu.dense.priors import (prior_depth_map,
+                                        ransac_segment_planes)
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # two inverse-depth-affine planes split left/right
+    z_inv = np.where(xx < w / 2,
+                     0.001 * xx + 0.002 * yy + 0.2,
+                     -0.0005 * xx + 0.001 * yy + 0.35)
+    depth = (1.0 / z_inv).astype(np.float32)
+    # 30% gross outliers
+    out = rng.random((h, w)) < 0.3
+    depth_noisy = np.where(out, depth * rng.uniform(0.3, 3.0, (h, w)),
+                           depth).astype(np.float32)
+    labels = (xx >= w / 2).astype(np.int32)
+    planes, frac, cnt = ransac_segment_planes(
+        jax.random.PRNGKey(1), jnp.asarray(labels),
+        jnp.asarray(depth_noisy), 2, n_hyps=128, epsilon=0.005)
+    prior = prior_depth_map(jnp.asarray(labels), planes, frac, cnt, 2,
+                            min_support=30, min_inlier_frac=0.5)
+    prior = np.asarray(prior)
+    valid = prior > 0
+    assert valid.mean() > 0.9
+    rel = np.abs(prior[valid] - depth[valid]) / depth[valid]
+    assert np.median(rel) < 0.01
+
+
+def test_semantic_prior_merge():
+    """generate_priors with a semantic mask fills masked regions with the
+    RANSAC plane (GenerateFinalPrior merge semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from hcmvs_tpu.dense.priors import generate_priors
+    rng = np.random.default_rng(1)
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    z_inv = 0.001 * xx + 0.002 * yy + 0.25
+    depth = (1.0 / z_inv).astype(np.float32)
+    gray = jnp.asarray(rng.random((h, w)), jnp.float32)
+    rays = jnp.ones((3, h, w), jnp.float32)
+    sem = np.zeros((h, w), np.int32)
+    prior = generate_priors(gray, jnp.asarray(depth), rays,
+                            semantic=jnp.asarray(sem),
+                            n_semantic_labels=1,
+                            key=jax.random.PRNGKey(2))
+    prior = np.asarray(prior)
+    valid = prior > 0
+    assert valid.mean() > 0.9
+    rel = np.abs(prior[valid] - depth[valid]) / depth[valid]
+    assert np.median(rel) < 0.02
