@@ -28,14 +28,24 @@ def run_pipeline(images: List[np.ndarray], K: np.ndarray, out_dir: str,
                  sfm_cfg: Optional[SfMConfig] = None,
                  dense_cfg: Optional[DenseConfig] = None,
                  with_mesh: bool = True, with_texture: bool = True,
+                 preset: str = "SEQUENTIAL",
                  verbose: bool = True) -> Dict:
-    """Run the full reconstruction from grayscale images + intrinsics."""
+    """Run the full reconstruction from grayscale images + intrinsics.
+
+    ``preset``: "SEQUENTIAL" (incremental SfM) or "GLOBAL" (rotation +
+    translation averaging) — the reference's MvgMvsPipeline presets
+    (ref: MvgMvsPipeline.py:116-122).
+    """
     os.makedirs(out_dir, exist_ok=True)
     dense_cfg = dense_cfg or DenseConfig()
     h, w = images[0].shape[:2]
 
     # --- SfM (steps 0-9) ---
-    result = incremental_sfm(images, K, sfm_cfg, verbose=verbose)
+    if preset.upper() == "GLOBAL":
+        from hcmvs_tpu.sfm.global_sfm import global_sfm
+        result = global_sfm(images, K, sfm_cfg, verbose=verbose)
+    else:
+        result = incremental_sfm(images, K, sfm_cfg, verbose=verbose)
     names = [f"im{i:04d}" for i in range(len(images))]
     scene = sfm_to_scene(result, K, names, w, h)
     scene_path = os.path.join(out_dir, "scene.mvs")
