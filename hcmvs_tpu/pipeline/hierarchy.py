@@ -20,6 +20,7 @@ channel).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -76,22 +77,53 @@ def run_hierarchy(tensors_per_level: Dict[int, SceneTensors],
                   base_cfg: DenseConfig,
                   schedule: Optional[List[Stage]] = None,
                   key: Optional[jax.Array] = None,
+                  checkpoint_dir: Optional[str] = None,
+                  resume: bool = True,
                   verbose: bool = False) -> SceneState:
     """Run the alternating multi-level schedule.
 
     ``tensors_per_level`` maps resolution level -> SceneTensors at that
     level's image size (build once per level with
     pipeline.densify.build_scene_tensors on resized images).
+
+    ``checkpoint_dir``: when set, each stage's output state is saved as an
+    orbax checkpoint (sharding-aware — works across multi-host meshes),
+    and ``resume`` restarts from the last completed stage.  This is the
+    TPU-native replacement for run.sh's `mv depthmap normalmap` handoff
+    (ref: /root/reference/run.sh:1-20) — same per-stage resumability, but
+    the artifact is a sharded array checkpoint instead of loose .dmap
+    files (which pipeline.densify still writes for interop).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     schedule = schedule or default_schedule(base_cfg)
     state = None
     prev_maps = None     # (depth, normal) from the previous stage
+    start_stage = 0
+    mngr = None
+    if checkpoint_dir is not None:
+        import orbax.checkpoint as ocp
+        mngr = ocp.CheckpointManager(os.path.abspath(checkpoint_dir))
+        latest = mngr.latest_step() if resume else None
+        if latest is not None and latest < len(schedule):
+            restored = mngr.restore(latest)
+            state = SceneState(
+                depth=jnp.asarray(restored["depth"]),
+                normal=jnp.asarray(restored["normal"]),
+                cost=jnp.asarray(restored["cost"]),
+                keys=jnp.asarray(restored["keys"]))
+            prev_maps = (state.depth, state.normal)
+            start_stage = latest + 1
+            if verbose:
+                print(f"[hierarchy] resumed after stage {latest}")
     for si, stage in enumerate(schedule):
+        if si < start_stage:
+            continue
         tensors = tensors_per_level[stage.level]
         n, h, w = tensors.gray.shape
         cfg = stage.cfg
-        key, sub = jax.random.split(key)
+        # per-stage key derived from the stage index (not a running
+        # split) so a resumed run reproduces the uninterrupted one
+        sub = jax.random.fold_in(key, si)
         if prev_maps is not None:
             d_up, n_up = _resize_maps(prev_maps[0], prev_maps[1], h, w)
             if stage.variant == "A":
@@ -112,9 +144,17 @@ def run_hierarchy(tensors_per_level: Dict[int, SceneTensors],
             state = init_scene_state(sub, tensors)
             state = _run_stage(state, tensors, cfg, verbose)
         prev_maps = (state.depth, state.normal)
+        if mngr is not None:
+            import orbax.checkpoint as ocp
+            mngr.save(si, args=ocp.args.StandardSave({
+                "depth": state.depth, "normal": state.normal,
+                "cost": state.cost, "keys": state.keys}))
+            mngr.wait_until_finished()
         if verbose:
             print(f"[hierarchy] stage {si} (level {stage.level}, "
                   f"variant {stage.variant}) done")
+    if mngr is not None:
+        mngr.close()
     return state
 
 

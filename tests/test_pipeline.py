@@ -142,3 +142,33 @@ def test_densify_resume_and_profiling(tmp_path, scene):
     s3 = densify(scene_path, images_dir, out, cfg, verbose=False,
                  filter_point_cloud=-3)
     assert s3["n_points"] <= s1["n_points"]
+
+
+def test_hierarchy_checkpoint_resume(tmp_path, scene):
+    """Stage-handoff checkpoints: killing after stage k and rerunning
+    resumes from k+1 and reproduces the uninterrupted result (the run.sh
+    `mv` handoff replacement)."""
+    from hcmvs_tpu.pipeline.hierarchy import Stage, run_hierarchy
+    scene_path, images_dir = _write_scene(tmp_path, scene)
+    from hcmvs_tpu.io.mvs import read_mvs
+    mvs = read_mvs(scene_path)
+    grays = [np.asarray(im, np.float32) for im in scene.images]
+    from hcmvs_tpu.pipeline.densify import build_scene_tensors
+    cfg = CFG.replace(estimation_iters=1, estimation_iters_external=1,
+                      random_iters=2, use_semantic=False, optimize=0)
+    tensors = build_scene_tensors(mvs, grays, cfg)
+    sched = [Stage(level=1, variant="A", cfg=cfg),
+             Stage(level=1, variant="B", cfg=cfg),
+             Stage(level=1, variant="A", cfg=cfg)]
+    levels = {1: tensors}
+    ck = str(tmp_path / "ck")
+    full = run_hierarchy(levels, cfg, schedule=sched,
+                         checkpoint_dir=ck, resume=False)
+    # simulate a crash after stage 1: new checkpoint dir, run only 2 stages
+    ck2 = str(tmp_path / "ck2")
+    run_hierarchy(levels, cfg, schedule=sched[:2], checkpoint_dir=ck2,
+                  resume=False)
+    resumed = run_hierarchy(levels, cfg, schedule=sched,
+                            checkpoint_dir=ck2, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.depth),
+                               np.asarray(full.depth), atol=1e-4)
