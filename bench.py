@@ -43,8 +43,8 @@ import time
 
 CACHE_DIR = "/tmp/hcmvs_bench_jax_cache"
 BASELINE_VIEWS_PER_S = 0.2  # estimated 32-core CPU reference (see docstring)
-# flagship 320x240 (640x480 exceeds the tunnel's sync-mode time budget;
-# scale the baseline estimate accordingly when comparing)
+# flagship 320x240 (the 640x480 workload still exceeds the tunnel's
+# per-process time budget: AOT compile + sync-mode execution > 8 min)
 SIZES = [(4, 240, 320, 3), (4, 96, 128, 3)]
 
 

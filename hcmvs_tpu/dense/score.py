@@ -45,7 +45,8 @@ import numpy as np
 from hcmvs_tpu.core.config import DenseConfig
 from hcmvs_tpu.dense.types import (ViewGeometry, dot3, mat3_apply,
                                    mat3_apply_t, normalize3)
-from hcmvs_tpu.ops.sampling import bilinear_sample_xy, nearest_sample_xy
+from hcmvs_tpu.ops.sampling import (bilinear_sample_xy, nearest_sample_xy,
+                                    nearest_sample_planes)
 
 _SIGMA_COLOR = 0.2          # ref: DepthMap.h:538 GetWeight sigmaColor
 _GRA_STRONG = 100.0         # ref: DepthMap.cpp:457 hardcoded texture split
@@ -406,13 +407,14 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
         in1 = (u1 >= 0) & (u1 <= w - 1) & (v1c >= 0) & (v1c <= h - 1) \
             & (z1 > 0)
         # nearest lookups, matching the reference's integer-pixel reads
-        # (depthMap(x1_i), DepthMap.cpp:652-655) — 1 load per plane
+        # (depthMap(x1_i), DepthMap.cpp:652-655) — depth + 3 normal planes
+        # packed into ONE gather (gathers cost per-index on TPU)
         u1r = jnp.round(u1)
         v1r = jnp.round(v1c)
-        d1, vd = nearest_sample_xy(nbr_d, u1r, v1r)
-        n1 = tuple(nearest_sample_xy(nbr_n[i], u1r, v1r)[0]
-                   for i in range(3))
-        n1 = normalize3(n1)
+        taps, vd = nearest_sample_planes(
+            jnp.concatenate([nbr_d[None], nbr_n]), u1r, v1r)
+        d1 = taps[0]
+        n1 = normalize3((taps[1], taps[2], taps[3]))
         # back-project via neighbor's depth
         ray1 = mat3_apply(K_inv_src, (u1, v1c, jnp.ones_like(u1)))
         X1b = (ray1[0] * d1, ray1[1] * d1, ray1[2] * d1)
@@ -467,8 +469,10 @@ def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
         inv_z1 = 1.0 / jnp.where(jnp.abs(p1[2]) < 1e-9, 1e-9, p1[2])
         u1 = jnp.round(p1[0] * inv_z1)
         v1 = jnp.round(p1[1] * inv_z1)
-        d1, ok_d = nearest_sample_xy(nbr_d, u1, v1)
-        n1 = tuple(nearest_sample_xy(nbr_n[i], u1, v1)[0] for i in range(3))
+        taps, ok_d = nearest_sample_planes(
+            jnp.concatenate([nbr_d[None], nbr_n]), u1, v1)
+        d1 = taps[0]
+        n1 = (taps[1], taps[2], taps[3])
         # back-project the neighbor's hypothesis into the ref frame
         ray1 = mat3_apply(K_inv_src, (u1, v1, jnp.ones_like(u1)))
         X1b = (ray1[0] * d1, ray1[1] * d1, ray1[2] * d1)

@@ -96,14 +96,22 @@ def cost_volume(geom: ViewGeometry, ref_gray: jax.Array,
 
 
 def _aggregate_dir(cost: jax.Array, p1: float, p2: float,
-                   axis: int, reverse: bool) -> jax.Array:
-    """One SGM path: scan the (D, H, W) volume along ``axis`` in (2 for
-    rows/cols), carrying the classic min-penalty recurrence."""
+                   axis: int, reverse: bool,
+                   col_shift: int = 0) -> jax.Array:
+    """One SGM path: scan the (D, H, W) volume along ``axis`` (1 for
+    rows, 2 for cols), carrying the classic min-penalty recurrence.
+
+    ``col_shift`` (+/-1, rows-scan only) makes the path diagonal: each
+    step's predecessor row is shifted one column sideways; paths entering
+    from outside the image restart (predecessor zeroed)."""
     d, h, w = cost.shape
     scan_axis = axis  # 1 = vertical path, 2 = horizontal path
     vol = jnp.moveaxis(cost, scan_axis, 0)      # (L, D, rest)
 
     def step(prev, cur):
+        if col_shift:
+            prev = jnp.roll(prev, col_shift, axis=-1)
+            prev = prev.at[:, 0 if col_shift > 0 else -1].set(0.0)
         prev_min = jnp.min(prev, axis=0, keepdims=True)
         up = jnp.roll(prev, 1, axis=0).at[0].set(jnp.inf)
         down = jnp.roll(prev, -1, axis=0).at[-1].set(jnp.inf)
@@ -112,24 +120,30 @@ def _aggregate_dir(cost: jax.Array, p1: float, p2: float,
         out = cur + best - prev_min
         return out, out
 
-    init = vol[0]
-    _, agg = jax.lax.scan(step, init, vol[1:], reverse=reverse)
     if reverse:
+        _, agg = jax.lax.scan(step, vol[-1], vol[:-1], reverse=True)
         agg = jnp.concatenate([agg, vol[-1:]], axis=0)
     else:
+        _, agg = jax.lax.scan(step, vol[0], vol[1:])
         agg = jnp.concatenate([vol[:1], agg], axis=0)
     return jnp.moveaxis(agg, 0, scan_axis)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("n_paths",))
 def sgm_aggregate(cost: jax.Array, p1: float = 3.0,
-                  p2: float = 20.0) -> jax.Array:
-    """4-path SGM aggregation (up/down/left/right) of a (D, H, W) volume
-    (ref: SemiGlobalMatcher 4/8-path option; diagonals are a follow-up)."""
+                  p2: float = 20.0, n_paths: int = 8) -> jax.Array:
+    """4- or 8-path SGM aggregation of a (D, H, W) volume
+    (ref: SemiGlobalMatcher 4/8-path option): up/down/left/right plus,
+    for 8 paths, the four diagonals as shifted row scans."""
     total = jnp.zeros_like(cost)
     for axis in (1, 2):
         for reverse in (False, True):
             total = total + _aggregate_dir(cost, p1, p2, axis, reverse)
+    if n_paths >= 8:
+        for reverse in (False, True):
+            for col_shift in (1, -1):
+                total = total + _aggregate_dir(cost, p1, p2, 1, reverse,
+                                               col_shift)
     return total
 
 

@@ -67,6 +67,12 @@ def bilinear_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
     This is the hot-path variant: packed uv has minor dimension 2, which
     wastes 126 of the VPU's 128 lanes and forces relayouts (the dense
     module's LAYOUT RULE, see dense/types.py).
+
+    The four taps are fetched by ONE gather from a 2x2-tap-packed copy of
+    the image: on TPU a gather costs per-index, not per-element fetched
+    (~7x measured speedup over four separate gathers at 300k indices), and
+    the packing itself is elementwise work that XLA hoists out of the
+    candidate-scoring loops since the image is loop-invariant.
     """
     h, w = img.shape[:2]
     x0 = jnp.floor(x)
@@ -78,14 +84,40 @@ def bilinear_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
     valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
     x0c = jnp.clip(x0i, 0, w - 2)
     y0c = jnp.clip(y0i, 0, h - 2)
-    v00 = img[y0c, x0c]
-    v01 = img[y0c, x0c + 1]
-    v10 = img[y0c + 1, x0c]
-    v11 = img[y0c + 1, x0c + 1]
+    packed = pack_bilinear_taps(img)                  # (4, H*W)
+    taps = jnp.take(packed, (y0c * w + x0c).reshape(-1), axis=1)
+    v00 = taps[0].reshape(x.shape)
+    v01 = taps[1].reshape(x.shape)
+    v10 = taps[2].reshape(x.shape)
+    v11 = taps[3].reshape(x.shape)
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     out = top * (1 - fy) + bot * fy
     return jnp.where(valid, out, oob_value), valid
+
+
+def pack_bilinear_taps(img: jax.Array) -> jax.Array:
+    """(H, W) -> (4, H*W): channel k holds the 2x2-neighborhood tap
+    [v00, v01, v10, v11] anchored at each pixel (edge-clamped)."""
+    r = jnp.pad(img, ((0, 1), (0, 1)), mode="edge")
+    return jnp.stack([r[:-1, :-1], r[:-1, 1:],
+                      r[1:, :-1], r[1:, 1:]]).reshape(4, -1)
+
+
+def nearest_sample_planes(planes: jax.Array, x: jax.Array, y: jax.Array,
+                          oob_value: float = 0.0
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Nearest sampling of C planes at shared coordinates with ONE gather:
+    ``planes`` is (C, H, W); returns ((C, ...), valid).  Use instead of C
+    separate nearest_sample_xy calls (gathers cost per-index on TPU)."""
+    c, h, w = planes.shape
+    xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    taps = jnp.take(planes.reshape(c, -1), (yi * w + xi).reshape(-1),
+                    axis=1)
+    out = taps.reshape((c,) + x.shape)
+    return jnp.where(valid[None], out, oob_value), valid
 
 
 def nearest_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
