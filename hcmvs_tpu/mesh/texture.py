@@ -83,10 +83,121 @@ def face_view_quality(vertices: np.ndarray, faces: np.ndarray,
     return qual
 
 
+def _face_adjacency(faces: np.ndarray):
+    """Padded face adjacency (F, D) with -1 fill + reverse slot index."""
+    f = len(faces)
+    edge_map = {}
+    adj = [[] for _ in range(f)]
+    for f_idx, face in enumerate(faces):
+        for k in range(3):
+            e = (min(face[k], face[(k + 1) % 3]),
+                 max(face[k], face[(k + 1) % 3]))
+            if e in edge_map:
+                o = edge_map[e]
+                adj[f_idx].append(o)
+                adj[o].append(f_idx)
+            else:
+                edge_map[e] = f_idx
+    max_deg = max((len(x) for x in adj), default=1)
+    adj_arr = np.full((f, max_deg), -1, np.int32)
+    for i, lst in enumerate(adj):
+        adj_arr[i, :len(lst)] = lst
+    # rev[f, d] = slot d' such that adj[adj[f, d], d'] == f
+    rev = np.zeros((f, max_deg), np.int32)
+    for i in range(f):
+        for d, g in enumerate(adj_arr[i]):
+            if g >= 0:
+                rev[i, d] = int(np.nonzero(adj_arr[g] == i)[0][0])
+    return adj_arr, rev
+
+
+def label_faces_lbp(faces: np.ndarray, quality: np.ndarray,
+                    smooth_weight: float = 0.3,
+                    n_iters: int = 20) -> np.ndarray:
+    """Potts-MRF face labeling via min-sum loopy belief propagation —
+    the reference's default solver (ref: SceneTexture.cpp:65-88 LBP /
+    frame_main/libs/Math/LBP.h), as a jittable synchronous message-passing
+    scan over the padded face adjacency."""
+    import jax
+    import jax.numpy as jnp
+    f, n_views = quality.shape
+    if f == 0:
+        return np.full(0, -1, np.int64)
+    adj_arr, rev = _face_adjacency(faces)
+    big = 1e6
+    data = np.where(quality > 0, -quality / max(quality.max(), 1e-9), big)
+    lam = smooth_weight
+    valid = adj_arr >= 0
+    adj_c = np.maximum(adj_arr, 0)
+
+    @jax.jit
+    def run(data, adj_c, rev, valid):
+        d_max = adj_c.shape[1]
+        M = jnp.zeros((f, d_max, n_views), jnp.float32)
+
+        def step(M, _):
+            h = data + M.sum(1)                           # (F, L) beliefs
+            hx = h[:, None, :] - M                        # exclude sender
+            m_out = jnp.minimum(hx, hx.min(-1, keepdims=True) + lam)
+            m_out = m_out - m_out.min(-1, keepdims=True)
+            # deliver: M_new[g, rev[f, d]] = m_out[f, d] for valid slots
+            M_new = jnp.zeros_like(M)
+            M_new = M_new.at[adj_c.reshape(-1),
+                             rev.reshape(-1)].add(
+                jnp.where(valid.reshape(-1)[:, None],
+                          m_out.reshape(-1, n_views), 0.0))
+            return M_new, None
+
+        M, _ = jax.lax.scan(step, M, None, length=n_iters)
+        return jnp.argmin(data + M.sum(1), axis=1)
+
+    labels = np.asarray(run(jnp.asarray(data, jnp.float32),
+                            jnp.asarray(adj_c), jnp.asarray(rev),
+                            jnp.asarray(valid))).astype(np.int64)
+    labels[quality.max(1) <= 0] = -1
+    return labels
+
+
+def reject_outlier_views(vertices: np.ndarray, faces: np.ndarray,
+                         quality: np.ndarray, images: List[np.ndarray],
+                         Ks, Rs, Cs, threshold: float = 6e-2) -> np.ndarray:
+    """Zero the quality of (face, view) pairs whose observed color is an
+    outlier against the face's cross-view median (ref: SceneTexture.cpp
+    face-texture outlier rejection, --outlier-threshold 6e-2): occluders
+    and specular views stop winning the labeling."""
+    fq = quality.copy()
+    n_views = quality.shape[1]
+    cent = vertices[faces].mean(1)
+    cols = np.full((len(faces), n_views), np.nan)
+    for v in range(n_views):
+        uv, z = _project_np(Ks[v], Rs[v], Cs[v], cent)
+        img = images[v]
+        h, w = img.shape[:2]
+        ok = (quality[:, v] > 0) & (z > 0)
+        x = np.clip(np.round(uv[:, 0]).astype(int), 0, w - 1)
+        y = np.clip(np.round(uv[:, 1]).astype(int), 0, h - 1)
+        c = img[y, x]
+        if c.ndim == 2:
+            c = c.mean(-1)
+        if img.dtype == np.uint8:
+            c = c / 255.0
+        cols[:, v] = np.where(ok, c, np.nan)
+    n_obs = (~np.isnan(cols)).sum(1)
+    med = np.nanmedian(np.where(np.isnan(cols), np.nan, cols), axis=1)
+    dev = np.abs(cols - med[:, None])
+    with np.errstate(invalid="ignore"):
+        out = dev > threshold
+    # a median over < 3 observations cannot identify an outlier (with 2,
+    # both views deviate from their midpoint equally)
+    out[n_obs < 3] = False
+    fq[np.nan_to_num(out, nan=False).astype(bool)] = 0.0
+    return fq
+
+
 def label_faces(faces: np.ndarray, quality: np.ndarray,
                 smooth_weight: float = 0.3, n_iters: int = 8) -> np.ndarray:
-    """Potts-MRF face labeling via vectorized ICM sweeps
-    (ref: SceneTexture.cpp:65-88 — LBP by default, TRW-S optional)."""
+    """Potts-MRF face labeling via vectorized ICM sweeps (the cheap
+    fallback; label_faces_lbp is the reference-default LBP solver)."""
     f, n_views = quality.shape
     labels = np.argmax(quality, axis=1)
     labels[quality.max(1) <= 0] = -1
@@ -235,10 +346,12 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
                  Cs: np.ndarray, atlas_size: int = 1024,
                  padding: int = 2, seam_leveling: bool = True
                  ) -> TexturedMesh:
-    """Full texturing pass: label -> charts -> seam-level -> shelf-pack."""
+    """Full texturing pass: outlier-reject -> LBP label -> charts ->
+    seam-level -> shelf-pack."""
     image_sizes = [(im.shape[1], im.shape[0]) for im in images]
     qual = face_view_quality(vertices, faces, Ks, Rs, Cs, image_sizes)
-    labels = label_faces(faces, qual)
+    qual = reject_outlier_views(vertices, faces, qual, images, Ks, Rs, Cs)
+    labels = label_faces_lbp(faces, qual)
     charts = _charts(faces, labels)
     offsets = (global_seam_leveling(vertices, faces, labels, charts,
                                     images, Ks, Rs, Cs)

@@ -177,3 +177,35 @@ def test_global_seam_leveling_reduces_seam():
                                np.stack([R, R]), np.stack([C0, C0]))
     # corrected seam difference ~ 0: (100 + o0) == (140 + o1)
     assert abs((100 + off[0, 0]) - (140 + off[1, 0])) < 1.0
+
+
+def test_lbp_labeling_smooths_noise():
+    """LBP on a strip of faces: one face with a weak preference for an
+    odd view flips to its neighbors' label under the Potts prior."""
+    from hcmvs_tpu.mesh.texture import label_faces_lbp
+    # strip of 8 triangles sharing edges: vertices 0..9
+    faces = np.array([[i, i + 1, i + 2] for i in range(8)], np.int32)
+    qual = np.zeros((8, 2), np.float32)
+    qual[:, 0] = 1.0
+    qual[4, 0] = 0.45
+    qual[4, 1] = 0.5    # slight lone preference for view 1
+    labels = label_faces_lbp(faces, qual, smooth_weight=0.3)
+    assert (labels == 0).all(), labels
+
+
+def test_outlier_view_rejection():
+    """A view observing a wrong (occluded) color gets zeroed."""
+    from hcmvs_tpu.mesh.texture import reject_outlier_views
+    verts = np.array([[0, 0, 5], [1, 0, 5], [0, 1, 5]], np.float64)
+    faces = np.array([[0, 1, 2]], np.int32)
+    K = np.array([[50.0, 0, 32], [0, 50.0, 32], [0, 0, 1]])
+    R = np.eye(3)
+    C = np.zeros(3)
+    imgs = [np.full((64, 64), 100, np.uint8),
+            np.full((64, 64), 102, np.uint8),
+            np.full((64, 64), 200, np.uint8)]  # occluded view: wrong color
+    qual = np.ones((1, 3), np.float32)
+    out = reject_outlier_views(verts, faces, qual, imgs,
+                               np.stack([K] * 3), np.stack([R] * 3),
+                               np.stack([C] * 3))
+    assert out[0, 0] > 0 and out[0, 1] > 0 and out[0, 2] == 0.0
