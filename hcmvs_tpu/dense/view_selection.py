@@ -99,3 +99,58 @@ def depth_range_from_points(points: np.ndarray, view_counts: np.ndarray,
     depths = np.array(depths)
     return (float(np.percentile(depths, 1) * margin[0]),
             float(np.percentile(depths, 99) * margin[1]))
+
+
+def global_pair_assignment(score: np.ndarray, max_candidates: int = 8,
+                           pairwise_mul: float = 0.3,
+                           n_iters: int = 30) -> np.ndarray:
+    """Single global stereo-pair assignment (the nNumViews==1 path).
+
+    Functional equivalent of the reference's TRW-S MRF
+    (ref: SceneDensify.cpp:184-301): per image the labels are its top
+    ``max_candidates`` scoring neighbors plus an empty state; unary cost
+    is inverse-proportional to the pair score normalized by the average
+    (avgScore/score); choosing the exact same edge from both sides costs
+    fSamePairwise = 24*mul, the empty state costs fEmptyPairwise = 8*mul
+    against every neighbor (pushing isolated images to empty instead of a
+    bad pair).  Solved with deterministic ICM sweeps instead of TRW-S
+    message passing — same energy, simpler solver.
+
+    Returns (N,) chosen neighbor per image (-1 = empty/unpaired).
+    """
+    n = score.shape[0]
+    cand = np.argsort(-score, axis=1)[:, :max_candidates]      # (N, K)
+    cand_score = np.take_along_axis(score, cand, axis=1)
+    pos = score[score > 0]
+    avg = pos.mean() if len(pos) else 1.0
+    k = cand.shape[1]
+    unary = np.where(cand_score > 0, avg / np.maximum(cand_score, 1e-9),
+                     1e9)                                       # (N, K)
+    empty_cost = 8.0 * pairwise_mul
+    same_cost = 24.0 * pairwise_mul
+
+    label = np.argmin(unary, axis=1)                            # index in K
+    label[cand_score.max(1) <= 0] = -1
+    for _ in range(n_iters):
+        changed = False
+        chosen = np.where(label >= 0,
+                          cand[np.arange(n), np.maximum(label, 0)], -1)
+        for i in range(n):
+            costs = np.full(k + 1, empty_cost)                  # last=empty
+            costs[:k] = unary[i]
+            for kk in range(k):
+                j = cand[i, kk]
+                if chosen[j] == i and j != i:
+                    jl = label[j]
+                    if jl >= 0 and cand[j, jl] == i:
+                        costs[kk] += same_cost
+            new = int(np.argmin(costs))
+            new = -1 if new == k else new
+            if new != label[i]:
+                label[i] = new
+                chosen[i] = cand[i, new] if new >= 0 else -1
+                changed = True
+        if not changed:
+            break
+    return np.where(label >= 0, cand[np.arange(n), np.maximum(label, 0)],
+                    -1)

@@ -195,3 +195,39 @@ def test_view_spread_transfers_exact_hypothesis(scene):
     frac = float(jnp.sum((rel < 0.02) & ok[0]) / jnp.maximum(
         jnp.sum(ok[0]), 1))
     assert frac > 0.8
+
+
+def test_global_pair_assignment():
+    """nNumViews==1 global pair MRF analog: strong mutual scores resolve
+    to good pairs; isolated images go empty."""
+    from hcmvs_tpu.dense.view_selection import global_pair_assignment
+    score = np.zeros((5, 5))
+    # 0-1 and 2-3 strongly covisible; 4 isolated
+    score[0, 1] = score[1, 0] = 10.0
+    score[2, 3] = score[3, 2] = 8.0
+    score[0, 2] = score[2, 0] = 1.0
+    pairs = global_pair_assignment(score)
+    # coverage semantics (the reference's fSamePairwise penalty): each
+    # strong edge is densified from one side, not both
+    assert pairs[0] == 1 or pairs[1] == 0
+    assert pairs[2] == 3 or pairs[3] == 2
+    assert pairs[4] == -1
+
+
+def test_lk_flow_recovers_translation():
+    """TPU-native pyramidal LK recovers a known integer shift."""
+    import jax.numpy as jnp
+    from hcmvs_tpu.dense.flow import lk_flow
+    rng = np.random.default_rng(0)
+    h, w = 64, 96
+    base = rng.random((h + 16, w + 16)).astype(np.float32)
+    import scipy.ndimage as ndi
+    base = ndi.gaussian_filter(base, 2.0)
+    ref = base[8:8 + h, 8:8 + w]
+    du, dv = 3, -2
+    # nbr(x, y) = ref(x + du, y + dv)  =>  flow ref->nbr is (-du, -dv)
+    nbr = base[8 + dv:8 + dv + h, 8 + du:8 + du + w]
+    flow = np.asarray(lk_flow(jnp.asarray(ref), jnp.asarray(nbr)))
+    inner = (slice(12, h - 12), slice(12, w - 12))
+    assert np.median(np.abs(flow[0][inner] + du)) < 0.3
+    assert np.median(np.abs(flow[1][inner] + dv)) < 0.3
