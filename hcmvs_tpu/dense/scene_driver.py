@@ -128,9 +128,9 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
 
 
 def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
-    """Random init, optionally seeded by splatted sparse depths
-    (ref: InitDepthMap triangulation / read-init, SceneDensify.cpp:514-578;
-    the full Delaunay interpolation lives in dense/init_tri.py)."""
+    """Random init, optionally seeded by sparse depths (splatted or
+    Delaunay-interpolated — dense/init_tri.py; ref: InitDepthMap
+    triangulation / read-init, SceneDensify.cpp:514-578)."""
     n, h, w = scene.gray.shape
     keys = jax.random.split(key, n)
 

@@ -91,3 +91,29 @@ def list_images(directory: str) -> List[str]:
     names = sorted(n for n in os.listdir(directory)
                    if os.path.splitext(n)[1].lower() in exts)
     return [os.path.join(directory, n) for n in names]
+
+
+def jet_colormap(x: np.ndarray) -> np.ndarray:
+    """Map values in [0, 1] to the classic jet colormap: (..., 3) uint8
+    RGB (ref: the reference's debug exporters write jet-colored depth PNGs,
+    DepthMap.cpp:2526 ExportDepthMap)."""
+    x = np.clip(np.asarray(x, np.float64), 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+
+
+def save_depth_png(path: str, depth: np.ndarray,
+                   d_min: float = None, d_max: float = None) -> None:
+    """Write a jet-colored depth visualization PNG (invalid = black) —
+    the verbosity-gated debug artifact the reference dumps per stage."""
+    valid = depth > 0
+    if d_min is None:
+        d_min = float(depth[valid].min()) if valid.any() else 0.0
+    if d_max is None:
+        d_max = float(depth[valid].max()) if valid.any() else 1.0
+    x = (depth - d_min) / max(d_max - d_min, 1e-9)
+    rgb = jet_colormap(x)
+    rgb[~valid] = 0
+    cv2.imwrite(path, rgb[..., ::-1])  # cv2 writes BGR

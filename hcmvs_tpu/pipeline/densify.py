@@ -60,11 +60,18 @@ def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
         depth_range_from_points(scene.points, scene.point_view_counts,
                                 scene.point_view_ids, Rs[i], Cs[i], i)
         for i in range(n)])
-    from hcmvs_tpu.dense.scene_driver import splat_sparse_depths
-    seeds = splat_sparse_depths(scene.points, scene.point_view_counts,
-                                scene.point_view_ids,
-                                [(Ks[i], Rs[i], Cs[i]) for i in range(n)],
-                                n, h, w)
+    cams_np = [(Ks[i], Rs[i], Cs[i]) for i in range(n)]
+    if cfg.init_triangulate:
+        # full Delaunay-interpolated init (ref: InitDepthMap
+        # initTriangulate=1 -> TriangulatePoints2DepthMap)
+        from hcmvs_tpu.dense.init_tri import scene_triangulated_seeds
+        seeds = scene_triangulated_seeds(
+            scene.points, scene.point_view_counts, scene.point_view_ids,
+            cams_np, n, h, w, add_corners=cfg.add_corners)
+    else:
+        from hcmvs_tpu.dense.scene_driver import splat_sparse_depths
+        seeds = splat_sparse_depths(scene.points, scene.point_view_counts,
+                                    scene.point_view_ids, cams_np, n, h, w)
     return SceneTensors(
         gray=jnp.stack([jnp.asarray(g) for g in images_gray]),
         cams=cams, nbr_idx=jnp.asarray(nbr_idx),
@@ -146,6 +153,13 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     depth_np = np.asarray(depth)
     normal_np = np.asarray(normal)
     conf_np = np.asarray(conf)
+    if verbose:
+        # jet-colored debug artifacts (the reference's verbosity-gated
+        # depth%04u.png dumps)
+        from hcmvs_tpu.io.images import save_depth_png
+        for i in range(n):
+            save_depth_png(os.path.join(dmap_dir, f"depth{i:04d}.png"),
+                           depth_np[i])
     for i in range(n):
         R, C = scene.pose_of(i)
         write_dmap(dmap_path(i),

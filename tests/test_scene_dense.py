@@ -231,3 +231,32 @@ def test_lk_flow_recovers_translation():
     inner = (slice(12, h - 12), slice(12, w - 12))
     assert np.median(np.abs(flow[0][inner] + du)) < 0.3
     assert np.median(np.abs(flow[1][inner] + dv)) < 0.3
+
+
+def test_triangulate_init_interpolates_plane():
+    """Delaunay seed maps reproduce a planar depth field from sparse
+    samples (ref: TriangulatePoints2DepthMap, DepthMap.cpp:1879)."""
+    from hcmvs_tpu.dense.init_tri import triangulate_init
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    uv = rng.uniform([2, 2], [w - 3, h - 3], (80, 2))
+    gt = 2.0 + 0.01 * uv[:, 0] + 0.02 * uv[:, 1]   # planar depth
+    dmap, mask = triangulate_init(uv, gt, h, w, add_corners=True)
+    ys, xs = np.mgrid[0:h, 0:w]
+    gt_map = 2.0 + 0.01 * xs + 0.02 * ys
+    inner = mask & (dmap > 0)
+    rel = np.abs(dmap[inner] - gt_map[inner]) / gt_map[inner]
+    assert inner.mean() > 0.9
+    assert np.median(rel) < 0.02
+
+
+def test_save_depth_png(tmp_path):
+    from hcmvs_tpu.io.images import save_depth_png, load_image
+    d = np.zeros((16, 24), np.float32)
+    d[4:12, 6:18] = np.linspace(1, 5, 12)[None]
+    p = str(tmp_path / "d.png")
+    save_depth_png(p, d)
+    img = load_image(p)
+    assert img.shape[:2] == (16, 24)
+    assert img[0, 0].max() <= 5.0 / 255  # invalid = black (normalized)
+    assert img[8, 12].max() > 0.2
