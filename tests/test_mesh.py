@@ -209,3 +209,35 @@ def test_outlier_view_rejection():
                                np.stack([K] * 3), np.stack([R] * 3),
                                np.stack([C] * 3))
     assert out[0, 0] > 0 and out[0, 1] > 0 and out[0, 2] == 0.0
+
+
+def test_subdivide_and_sample_and_fix():
+    from hcmvs_tpu.mesh.mesh_ops import (fix_non_manifold, sample_points,
+                                         subdivide)
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    v2, f2 = subdivide(verts, faces)
+    assert len(f2) == 8 and len(v2) == 4 + 5  # 5 unique edge midpoints
+    pts, nrm = sample_points(v2, f2, 100)
+    assert pts.shape == (100, 3)
+    assert np.allclose(np.abs(nrm[:, 2]), 1.0)
+    assert (pts[:, :2] >= -1e-6).all() and (pts[:, :2] <= 1 + 1e-6).all()
+    # plant a duplicate + degenerate + non-manifold face
+    bad = np.concatenate([faces, [[0, 1, 2], [0, 0, 1], [0, 1, 3]]])
+    v3, f3 = fix_non_manifold(verts, bad)
+    assert len(f3) <= 3
+
+
+def test_rasterize_depth_plane():
+    from hcmvs_tpu.mesh.mesh_ops import rasterize_depth
+    # unit quad at z=4 filling the view center
+    verts = np.array([[-1, -1, 4], [1, -1, 4], [-1, 1, 4], [1, 1, 4]],
+                     np.float64)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    K = np.array([[40.0, 0, 32], [0, 40.0, 24], [0, 0, 1]])
+    d = rasterize_depth(verts, faces, K, np.eye(3), np.zeros(3), 48, 64)
+    assert abs(d[24, 32] - 4.0) < 1e-6
+    assert d[1, 1] == 0.0
+    inner = d[20:28, 28:36]
+    assert (np.abs(inner - 4.0) < 1e-6).all()
