@@ -104,6 +104,13 @@ class DenseConfig:
     agg_top_k: int = 0                 # 0: min-mean aggregation over views
                                        # (ref DENSE_AGGNCC_MINMEAN), else top-k
     use_pallas: bool = True            # Pallas kernels vs pure-XLA fallback
+    batch_candidates: bool = False     # score all propagation candidates
+                                       # in one vmapped graph instead of
+                                       # lax.scan (measured slower on v5e:
+                                       # 0.72 vs 0.84 views/s — the extra
+                                       # HBM traffic of materialized
+                                       # candidate intermediates loses to
+                                       # the scan's reuse)
     score_mode: str = "warped"         # "warped": sample each src view once
                                        # per candidate at the warp center and
                                        # take patch values from the warped

@@ -195,8 +195,8 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
 
     # view-spread: harvest each neighbor view's hypothesis at this pixel's
     # projection and reproject it into the ref frame (ref:
-    # OPTDENSE::viewspread, DepthMap.cpp:1504-1608).  Scanned through the
-    # same scoring graph as the propagation candidates.
+    # OPTDENSE::viewspread, DepthMap.cpp:1504-1608).  Scored through the
+    # same graph as the propagation candidates.
     if cfg.view_spread and ctx.nbr_depth is not None:
         vs_d, vs_n, vs_ok = S.view_spread_candidates(
             ctx.geom, cur_d, ctx.rays, ctx.nbr_depth, ctx.nbr_normal)
@@ -210,13 +210,32 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
             cand_v.append(vs_ok[v] & (vs_d[v] >= ctx.d_min * 0.8)
                           & (vs_d[v] <= ctx.d_max * 1.2))
 
-    def prop_step(best, cand):
-        d_p, n_p, valid = cand
-        return consider(best, d_p, n_p, valid), None
+    if cfg.batch_candidates:
+        # evaluate every propagation candidate in ONE vmapped cost graph:
+        # bigger fused ops keep the VPU fed (the scan variant evaluates
+        # candidates serially); memory cost is C x (V, H, W) intermediates
+        cd = jnp.stack(cand_d)
+        cn = jnp.stack(cand_n)
+        cv = jnp.stack(cand_v)
+        costs = jax.vmap(cost_of)(cd, cn)            # (C, H, W)
+        costs = jnp.where(cv, costs, jnp.inf)
+        bd, bn, bc = best
+        all_c = jnp.concatenate([bc[None], costs])
+        all_d = jnp.concatenate([bd[None], cd])
+        all_n = jnp.concatenate([bn[None], cn])
+        k = jnp.argmin(all_c, axis=0)                # (H, W)
+        kn = jnp.broadcast_to(k[None, None], (1, 3) + k.shape)
+        best = (jnp.take_along_axis(all_d, k[None], 0)[0],
+                jnp.take_along_axis(all_n, kn, 0)[0],
+                jnp.take_along_axis(all_c, k[None], 0)[0])
+    else:
+        def prop_step(best, cand):
+            d_p, n_p, valid = cand
+            return consider(best, d_p, n_p, valid), None
 
-    best, _ = jax.lax.scan(
-        prop_step, best,
-        (jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_v)))
+        best, _ = jax.lax.scan(
+            prop_step, best,
+            (jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_v)))
 
     # annealed random refinement: scan with traced per-step scale
     key, *subs = jax.random.split(state.key, cfg.random_iters + 1)

@@ -103,3 +103,29 @@ def _match_tree(spec_tree, value_tree):
     for v, s in zip(leaves_v, leaves_s):
         out.append(None if v is None else s)
     return jax.tree.unflatten(treedef, out)
+
+
+def shard_ba(problem, state, mesh: Mesh):
+    """Place a BA problem on the mesh: observations and points shard over
+    all devices (the reference has no distributed BA at all — OpenMVG runs
+    single-node; SURVEY §7 hard part #3).  The per-observation Jacobian
+    products and the segment-sums into the camera/point normal blocks
+    then run sharded, and GSPMD inserts the cross-device reductions
+    (psum) for the reduced camera system — the distributed Schur
+    complement, with the tiny (C, 6, 6) camera system replicated.
+    """
+    from hcmvs_tpu.sfm.ba import BAProblem, BAState
+    every = P(("view", "tile"))
+    obs = NamedSharding(mesh, every)
+    obs2 = NamedSharding(mesh, P(("view", "tile"), None))
+    repl = NamedSharding(mesh, P())
+    pts = NamedSharding(mesh, P(("view", "tile"), None))
+    p_spec = BAProblem(
+        K=repl, obs_cam=obs, obs_pt=obs, obs_uv=obs2, obs_valid=obs,
+        pt_table=NamedSharding(mesh, P(("view", "tile"), None)),
+        pt_table_valid=NamedSharding(mesh, P(("view", "tile"), None)),
+        fixed_cams=repl)
+    s_spec = BAState(rvecs=repl, tvecs=repl, points=pts)
+    problem = jax.tree.map(jax.device_put, problem, p_spec)
+    state = jax.tree.map(jax.device_put, state, s_spec)
+    return problem, state

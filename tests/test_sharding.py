@@ -69,3 +69,47 @@ def test_sharded_sweeps_match_single_device(n_view, n_tile):
                                np.asarray(ref.depth), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.cost),
                                np.asarray(ref.cost), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_ba_matches_single_device():
+    """Bundle adjustment with observations + points sharded over the mesh
+    reproduces the single-device solution (distributed Schur: GSPMD
+    reduces the camera system across shards)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_incremental_sfm import _synthetic_observations, K_TEST
+    from hcmvs_tpu.sfm.ba import (BAState, build_problem, rotation_to_rvec,
+                                  run_ba)
+    from hcmvs_tpu.parallel.sharding import shard_ba
+    rng = np.random.default_rng(3)
+    xy, pair_matches, gt_C, X_gt = _synthetic_observations(
+        rng, n_cams=4, n_pts=64, mismatch_frac=0.0)
+    # observations: all points in all cams (abstract), perturbed init
+    obs_cam, obs_pt, obs_uv = [], [], []
+    for c in range(4):
+        for p in range(64):
+            obs_cam.append(c)
+            obs_pt.append(p)
+            obs_uv.append(xy[c][p])
+    Ks = np.tile(np.asarray(K_TEST)[None], (4, 1, 1))
+    problem = build_problem(Ks, obs_cam, obs_pt, obs_uv, 64,
+                            fixed_cams=[c == 0 for c in range(4)])
+    R0 = np.eye(3)
+    rvecs = np.zeros((4, 3), np.float32)
+    tvecs = np.stack([-R0 @ gt_C[c] for c in range(4)]).astype(np.float32)
+    pts0 = (X_gt + rng.normal(0, 0.02, X_gt.shape)).astype(np.float32)
+    state = BAState(rvecs=jnp.asarray(rvecs), tvecs=jnp.asarray(tvecs),
+                    points=jnp.asarray(pts0))
+
+    ref_state, ref_cost = run_ba(problem, state, n_iters=5)
+
+    mesh = make_device_mesh(n_view=4, n_tile=2)
+    problem_s, state_s = shard_ba(problem, state, mesh)
+    with jax.set_mesh(mesh):
+        out_state, out_cost = run_ba(problem_s, state_s, n_iters=5)
+
+    assert out_cost == pytest.approx(ref_cost, rel=1e-3, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(out_state.points),
+                               np.asarray(ref_state.points),
+                               rtol=1e-3, atol=1e-4)
