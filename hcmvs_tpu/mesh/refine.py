@@ -12,8 +12,11 @@ stages here):
 - The photometric gradient is taken along the vertex normal by finite
   differences (the reference accumulates per-pixel gradients onto
   vertices through the rasterization; the along-normal line search is the
-  rasterization-free equivalent for vertex-resolution refinement —
-  occlusion-aware z-buffered rasterization is the tracked upgrade).
+  rasterization-free equivalent for vertex-resolution refinement).
+- Occlusion handling: per scale, each view's z-buffered mesh depth
+  (mesh_ops.rasterize_depth — the TRasterMesh analog) masks vertices whose
+  projected depth disagrees with the rasterization, so back-side and
+  occluded vertices stop receiving photometric gradients.
 - A uniform-Laplacian regularizer stands in for the rigidity/elasticity
   term (ref: RefineMesh.cpp --regularity-weight), and the gradient steps
   run at multiple displacement scales (ref: --scales/--scale-step).
@@ -79,12 +82,29 @@ def refine_step(vertices: jax.Array, normals: jax.Array, edges: jax.Array,
                 images: jax.Array, Ks: jax.Array, Rs: jax.Array,
                 Cs: jax.Array, pair_a: jax.Array, pair_b: jax.Array,
                 step: jax.Array, reg_weight: float = 0.2,
-                n_iters: int = 5) -> jax.Array:
+                n_iters: int = 5,
+                raster_depth: "jax.Array | None" = None,
+                occl_tol: float = 0.01) -> jax.Array:
     """``n_iters`` along-normal gradient steps at one displacement scale.
 
     pair_a/pair_b: (P,) view indices of the photometric pairs to score
     (the reference scores all overlapping image pairs; pass the best-k).
+    raster_depth: optional (N_views, H, W) z-buffered mesh depths — a
+    vertex only collects gradient from views where its projected depth
+    matches the rasterization within ``occl_tol`` (relative).
     """
+    from hcmvs_tpu.ops.sampling import nearest_sample_xy
+
+    def visible(iv, u, v, z):
+        ok = z > 0
+        if raster_depth is not None:
+            zr, okr = nearest_sample_xy(raster_depth[iv], jnp.round(u),
+                                        jnp.round(v))
+            # tolerance covers the finite-difference probe displacement
+            # (the raster is of the unperturbed mesh) plus a relative band
+            tol = 2.0 * step + occl_tol * jnp.maximum(z, 1e-9)
+            ok = ok & okr & (zr > 0) & (jnp.abs(zr - z) < tol)
+        return ok
 
     def photo_score(V):
         total = jnp.zeros(V.shape[0])
@@ -94,7 +114,7 @@ def refine_step(vertices: jax.Array, normals: jax.Array, edges: jax.Array,
             ua, va, za = _project(Ks[ia], Rs[ia], Cs[ia], V)
             ub, vb, zb = _project(Ks[ib], Rs[ib], Cs[ib], V)
             z = _vertex_zncc(images[ia], images[ib], ua, va, ub, vb)
-            vis = (za > 0) & (zb > 0)
+            vis = visible(ia, ua, va, za) & visible(ib, ub, vb, zb)
             total += jnp.where(vis, z, 0.0)
             cnt += vis
         return total / jnp.maximum(cnt, 1.0)
@@ -125,10 +145,14 @@ def refine_mesh(vertices: np.ndarray, faces: np.ndarray,
                 Cs: np.ndarray, pairs: np.ndarray,
                 scales: int = 3, scale_step: float = 0.5,
                 base_step: float = None, reg_weight: float = 0.2,
-                iters_per_scale: int = 5) -> np.ndarray:
+                iters_per_scale: int = 5,
+                occlusion: bool = True) -> np.ndarray:
     """Multi-scale driver (ref: RefineMesh.cpp --scales 3 --scale-step
-    0.5): displacement scale shrinks by ``scale_step`` per level."""
-    from hcmvs_tpu.mesh.mesh_ops import compute_vertex_normals
+    0.5): displacement scale shrinks by ``scale_step`` per level; with
+    ``occlusion`` the mesh is z-buffer-rasterized into every view once per
+    scale to mask occluded vertices."""
+    from hcmvs_tpu.mesh.mesh_ops import (compute_vertex_normals,
+                                         rasterize_depth)
     if base_step is None:
         # ~half the median edge length
         e = vertices[faces[:, 0]] - vertices[faces[:, 1]]
@@ -136,15 +160,23 @@ def refine_mesh(vertices: np.ndarray, faces: np.ndarray,
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
                             faces[:, [2, 0]]]).astype(np.int32)
     V = jnp.asarray(vertices, jnp.float32)
+    h, w = images[0].shape[:2]
     step = base_step
     for s in range(scales):
-        normals = jnp.asarray(compute_vertex_normals(np.asarray(V), faces))
+        V_np = np.asarray(V)
+        normals = jnp.asarray(compute_vertex_normals(V_np, faces))
+        raster = None
+        if occlusion:
+            raster = jnp.asarray(np.stack([
+                rasterize_depth(V_np.astype(np.float64), faces,
+                                Ks[i], Rs[i], Cs[i], h, w)
+                for i in range(len(images))]))
         V = refine_step(V, normals, jnp.asarray(edges),
                         jnp.asarray(images), jnp.asarray(Ks, jnp.float32),
                         jnp.asarray(Rs, jnp.float32),
                         jnp.asarray(Cs, jnp.float32),
                         jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
                         jnp.asarray(step, jnp.float32), reg_weight,
-                        iters_per_scale)
+                        iters_per_scale, raster_depth=raster)
         step *= scale_step
     return np.asarray(V)
