@@ -169,3 +169,112 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, tensors, cfg)
     return state
+
+
+def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
+                         base_cfg: Optional[DenseConfig] = None,
+                         schedule: Optional[List[Stage]] = None,
+                         resume: bool = True,
+                         verbose: bool = True) -> dict:
+    """Full hierarchical-cross densification of a `.mvs` scene — the
+    run.sh top-level entry (ref: /root/reference/run.sh:1-20): builds the
+    per-level scene tensors from resized images, runs the alternating
+    5-stage schedule with orbax stage checkpoints, and writes the final
+    .dmap maps + fused cloud like pipeline.densify."""
+    import os as _os
+    from hcmvs_tpu.io.images import (compute_resolution_scale, load_image,
+                                     resize_image)
+    from hcmvs_tpu.io.mvs import read_mvs
+    from hcmvs_tpu.pipeline.densify import build_scene_tensors
+    from hcmvs_tpu.utils.profiling import stage_timer
+
+    base_cfg = base_cfg or DenseConfig()
+    schedule = schedule or default_schedule(base_cfg)
+    _os.makedirs(out_dir, exist_ok=True)
+    scene = read_mvs(scene_path)
+    n = len(scene.images)
+    raw = []
+    for i in range(n):
+        name = scene.images[i].name
+        path = name if _os.path.isabs(name) else _os.path.join(
+            images_dir, _os.path.basename(name))
+        raw.append(load_image(path, gray=True))
+
+    levels = sorted({s.level for s in schedule}, reverse=True)
+    tensors_per_level: Dict[int, SceneTensors] = {}
+    with stage_timer("hierarchy.build_levels", log=verbose):
+        for lvl in levels:
+            scale = compute_resolution_scale(
+                raw[0].shape[1], raw[0].shape[0], lvl,
+                base_cfg.max_resolution, base_cfg.min_resolution)
+            grays = [resize_image(g, scale) for g in raw]
+            tensors_per_level[lvl] = build_scene_tensors(
+                scene, grays, base_cfg)
+
+    with stage_timer("hierarchy.schedule", log=verbose):
+        state = run_hierarchy(
+            tensors_per_level, base_cfg, schedule=schedule,
+            checkpoint_dir=_os.path.join(out_dir, "stage_ckpt"),
+            resume=resume, verbose=verbose)
+
+    # final artifacts at the finest level
+    final_cfg = schedule[-1].cfg
+    depth, normal, conf = finalize(state, final_cfg)
+    tensors = tensors_per_level[schedule[-1].level]
+    h, w = tensors.gray.shape[1:]
+    from hcmvs_tpu.dense.fusion import compact_point_cloud, fuse_point_cloud
+    from hcmvs_tpu.io.dmap import DepthMapData, write_dmap
+    from hcmvs_tpu.io.ply import write_ply_points
+    dmap_dir = _os.path.join(out_dir, "depthmap")
+    _os.makedirs(dmap_dir, exist_ok=True)
+    depth_np = np.asarray(depth)
+    normal_np = np.asarray(normal)
+    conf_np = np.asarray(conf)
+    for i in range(n):
+        R, C = scene.pose_of(i)
+        write_dmap(_os.path.join(dmap_dir, f"depth{i:04d}.dmap"),
+                   DepthMapData(
+                       depth=depth_np[i],
+                       normal=np.moveaxis(normal_np[i], 0, -1),
+                       conf=conf_np[i],
+                       K=scene.intrinsics_of(i, w, h), R=R, C=C,
+                       d_min=float(tensors.d_min[i]),
+                       d_max=float(tensors.d_max[i]),
+                       image_size=(w, h),
+                       image_name=scene.images[i].name,
+                       view_ids=[i] + list(np.asarray(tensors.nbr_idx[i]))))
+    priority = jnp.arange(n, dtype=jnp.float32)
+    fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
+                             tensors.nbr_idx, tensors.nbr_valid, priority,
+                             final_cfg)
+    cloud = compact_point_cloud(fused)
+    write_ply_points(_os.path.join(out_dir, "scene_dense.ply"),
+                     cloud["points"], cloud["normals"])
+    return {"n_views": n, "n_points": len(cloud["points"]),
+            "valid_frac": float((depth_np > 0).mean()),
+            "depth": depth_np}
+
+
+def main(argv=None):
+    import argparse
+    from hcmvs_tpu.core.config import config_from_cli_flags
+    from hcmvs_tpu.utils.profiling import log_report
+    ap = argparse.ArgumentParser(
+        description="Hierarchical-cross densification (run.sh equivalent)")
+    ap.add_argument("--input-file", required=True)
+    ap.add_argument("--images-dir", default=None)
+    ap.add_argument("-w", "--working-dir", default="mvs_hc_out")
+    ap.add_argument("--flags", nargs="*", default=[])
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args(argv)
+    cfg = config_from_cli_flags(dict(f.split("=", 1) for f in args.flags))
+    images_dir = args.images_dir or os.path.dirname(args.input_file)
+    stats = densify_hierarchical(args.input_file, images_dir,
+                                 args.working_dir, cfg,
+                                 resume=not args.no_resume)
+    print({k: v for k, v in stats.items() if k != "depth"})
+    log_report()
+
+
+if __name__ == "__main__":
+    main()

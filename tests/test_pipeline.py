@@ -172,3 +172,21 @@ def test_hierarchy_checkpoint_resume(tmp_path, scene):
                             checkpoint_dir=ck2, resume=True)
     np.testing.assert_allclose(np.asarray(resumed.depth),
                                np.asarray(full.depth), atol=1e-4)
+
+
+def test_densify_hierarchical_cli(tmp_path, scene):
+    """run.sh-equivalent driver end-to-end on a tiny scene (2 levels)."""
+    from hcmvs_tpu.pipeline.hierarchy import (Stage, densify_hierarchical)
+    scene_path, images_dir = _write_scene(tmp_path, scene)
+    cfg = CFG.replace(estimation_iters=1, estimation_iters_external=1,
+                      random_iters=2, use_semantic=False,
+                      resolution_level=0, min_resolution=0)
+    sched = [Stage(level=1, variant="A", cfg=cfg),
+             Stage(level=0, variant="B", cfg=cfg),
+             Stage(level=0, variant="A", cfg=cfg)]
+    out = str(tmp_path / "hc_out")
+    stats = densify_hierarchical(scene_path, images_dir, out,
+                                 cfg, schedule=sched, verbose=False)
+    assert stats["valid_frac"] > 0.3
+    assert os.path.exists(os.path.join(out, "depthmap", "depth0000.dmap"))
+    assert os.path.exists(os.path.join(out, "scene_dense.ply"))
