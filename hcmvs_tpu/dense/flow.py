@@ -16,7 +16,7 @@ Two backends:
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

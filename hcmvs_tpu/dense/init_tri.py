@@ -13,7 +13,7 @@ interpolation itself is vectorized over all pixels at once.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay

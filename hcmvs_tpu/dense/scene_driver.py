@@ -35,8 +35,7 @@ from hcmvs_tpu.dense.fusion import cross_view_filter, gap_interpolate
 from hcmvs_tpu.dense.patchmatch import (ScoreContext, half_sweep,
                                         propagation_offsets)
 from hcmvs_tpu.dense.types import (PatchMatchState, init_state,
-                                   make_view_geometry, pixel_rays,
-                                   random_normals)
+                                   make_view_geometry, pixel_rays)
 from hcmvs_tpu.ops.gradients import sobel_magnitude
 
 

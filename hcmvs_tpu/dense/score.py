@@ -36,16 +36,16 @@ intent; each is a no-op or near-no-op in the reference due to the bug):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hcmvs_tpu.core.config import DenseConfig
-from hcmvs_tpu.dense.types import (ViewGeometry, dot3, mat3_apply,
+from hcmvs_tpu.dense.types import (ViewGeometry, mat3_apply,
                                    mat3_apply_t, normalize3)
-from hcmvs_tpu.ops.sampling import (bilinear_sample_xy, nearest_sample_xy,
+from hcmvs_tpu.ops.sampling import (bilinear_sample_xy,
                                     nearest_sample_planes)
 
 _SIGMA_COLOR = 0.2          # ref: DepthMap.h:538 GetWeight sigmaColor

@@ -25,9 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hcmvs_tpu.core.config import DenseConfig
 from hcmvs_tpu.dense.types import ViewGeometry
-from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 
 def census_transform(gray: jax.Array, radius: int = 2) -> jax.Array:

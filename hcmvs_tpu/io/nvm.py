@@ -21,7 +21,7 @@ default to the normalized convention with an assumed aspect.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

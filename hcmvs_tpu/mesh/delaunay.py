@@ -21,7 +21,7 @@ keeps the heavy regular work (ray sampling) vectorized:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay

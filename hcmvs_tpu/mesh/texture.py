@@ -19,7 +19,7 @@ leveling, RectsBinPack atlas packing):
 from __future__ import annotations
 
 import os
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import numpy as np
 

@@ -28,7 +28,7 @@ from hcmvs_tpu.dense.view_selection import (depth_range_from_points,
                                             pair_scores, select_neighbors)
 from hcmvs_tpu.io.dmap import DepthMapData, write_dmap
 from hcmvs_tpu.io.images import compute_resolution_scale, load_image, \
-    resize_image, to_gray
+    resize_image
 from hcmvs_tpu.io.mvs import SceneMVS, read_mvs, write_mvs
 from hcmvs_tpu.io.ply import write_ply_points
 

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from hcmvs_tpu.core.config import DenseConfig
 from hcmvs_tpu.dense.scene_driver import (SceneState, SceneTensors,
-                                          estimate_scene, finalize,
-                                          init_scene_state, scene_sweeps)
+                                          finalize, init_scene_state,
+                                          scene_sweeps)
 
 
 @dataclasses.dataclass(frozen=True)

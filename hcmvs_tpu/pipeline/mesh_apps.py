@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -19,7 +19,6 @@ mask, per-point tables to T observations per point.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Tuple
 

@@ -233,7 +233,7 @@ def global_sfm_from_matches(xy: List[np.ndarray],
         raise ValueError("triangulation produced no points")
 
     # 4. global bundle adjustment (shared LM engine)
-    from hcmvs_tpu.sfm.ba import (BAProblem, BAState, build_problem,
+    from hcmvs_tpu.sfm.ba import (BAState, build_problem,
                                   rotation_to_rvec, run_ba)
     reg = connected
     cam_of = {img: c for c, img in enumerate(reg)}

@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from hcmvs_tpu.sfm.ba import rodrigues, rotation_to_rvec
+from hcmvs_tpu.sfm.ba import rodrigues
 
 
 class PnPResult(NamedTuple):
