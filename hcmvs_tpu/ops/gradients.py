@@ -58,3 +58,32 @@ def sobel_magnitude(img: jax.Array, scale: float = 255.0) -> jax.Array:
     """
     gx, gy = sobel_xy(img * scale)
     return jnp.minimum(0.5 * (jnp.abs(gx) + jnp.abs(gy)), 255.0)
+
+
+def normals_from_depth(depth: jax.Array, rays: jax.Array) -> jax.Array:
+    """(3, H, W) camera-frame normals from a depth map's 3D gradients
+    (ref: EstimateNormalMap, frame_main/libs/MVS/DepthMap.cpp:2272 —
+    cross product of the tangents along x and y, oriented toward the
+    camera; used by the SGM path's --estimate-normals and by fusion when
+    PatchMatch normals are absent).
+
+    ``rays`` is the (3, H, W) pixel-ray field (dense/types.pixel_rays).
+    """
+    X = rays * depth[None]                                 # (3, H, W)
+    dx = tuple(_shift(X[i], 0, 1) - _shift(X[i], 0, -1) for i in range(3))
+    dy = tuple(_shift(X[i], 1, 0) - _shift(X[i], -1, 0) for i in range(3))
+    n = (dy[1] * dx[2] - dy[2] * dx[1],
+         dy[2] * dx[0] - dy[0] * dx[2],
+         dy[0] * dx[1] - dy[1] * dx[0])
+    norm = jnp.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    n = tuple(c * inv for c in n)
+    # face the camera: n . ray < 0
+    n_dot_r = n[0] * rays[0] + n[1] * rays[1] + n[2] * rays[2]
+    sign = jnp.where(n_dot_r > 0, -1.0, 1.0)
+    n = jnp.stack([c * sign for c in n])
+    valid = depth > 0
+    return jnp.where(valid[None], n,
+                     jnp.stack([jnp.zeros_like(depth),
+                                jnp.zeros_like(depth),
+                                -jnp.ones_like(depth)]))

@@ -64,3 +64,26 @@ def test_global_sfm_recovers_trajectory():
     est_C = np.stack([result.poses[i][1] for i in sorted(result.poses)])
     ate, _ = _umeyama_ate(gt_C, est_C)
     assert ate.max() < 0.02, ate
+
+
+def test_pose_eval_harness():
+    """MvgOptimizeSfM analog: good poses -> sub-pixel frozen-pose RMS and
+    tiny ATE; corrupted poses -> both degrade."""
+    from hcmvs_tpu.eval.pose_eval import ate, structure_from_known_poses
+    rng = np.random.default_rng(7)
+    xy, pair_matches, gt_C, X_gt = _synthetic_observations(
+        rng, mismatch_frac=0.0)
+    cfg = SfMConfig(min_matches=20)
+    res = global_sfm_from_matches(xy, pair_matches, K_TEST, len(xy), cfg)
+    est_C = np.stack([res.poses[i][1] for i in sorted(res.poses)])
+    stats = ate(est_C, gt_C)
+    assert stats["rmse"] < 0.01
+    rms = structure_from_known_poses(res, K_TEST)
+    assert rms < 1.0
+    # corrupt one pose: frozen-pose RMS must degrade
+    bad = {k: (v[0], v[1] + (0.3 if k == 2 else 0.0)) for k, v in
+           res.poses.items()}
+    import dataclasses
+    res_bad = dataclasses.replace(res, poses=bad)
+    rms_bad = structure_from_known_poses(res_bad, K_TEST)
+    assert rms_bad > 2 * rms

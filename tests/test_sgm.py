@@ -52,3 +52,20 @@ def test_sgm_recovers_plane_depth():
     # reference uses it as a rough alternative mode); slanted
     # surfaces carry a window-level bias
     assert np.median(rel[valid]) < 0.05
+
+
+def test_normals_from_depth_plane():
+    """Depth-gradient normals on a slanted plane match the GT normal
+    (ref: EstimateNormalMap, DepthMap.cpp:2272)."""
+    import jax.numpy as jnp
+    from hcmvs_tpu.ops.gradients import normals_from_depth
+    from hcmvs_tpu.dense.types import pixel_rays
+    from hcmvs_tpu.utils.synth import make_plane_scene
+    sc = make_plane_scene(np.random.default_rng(2), h=48, w=64, n_views=2)
+    K_inv = jnp.asarray(np.linalg.inv(sc.cameras[0].K), jnp.float32)
+    rays = pixel_rays(K_inv, 48, 64)
+    n = np.asarray(normals_from_depth(jnp.asarray(sc.depth_gt), rays))
+    gt = sc.normal_gt / np.linalg.norm(sc.normal_gt)
+    inner = n[:, 4:-4, 4:-4]
+    cos = np.abs((inner * gt[:, None, None]).sum(0))
+    assert np.median(cos) > 0.999
