@@ -177,3 +177,34 @@ def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
     win_cost = c1 / 4.0                                 # per-path average
     depth = jnp.where(win_cost < max_cost, depth, 0.0)
     return depth, win_cost
+
+
+def sgm_scene(scene, cfg=None, n_depths: int = 64):
+    """SGM depth maps for every view against its best neighbor, with
+    depth-gradient normals — the DensifyPointCloud --fusion-mode -1/-2
+    path (ref: SceneDensify.cpp:3899-3911 sgm.Match per image +
+    SemiGlobalMatcher.cpp:739 Fuse; the cross-view consistency check that
+    the reference's Fuse performs is dense/fusion.cross_view_filter,
+    applied by the caller exactly as for PatchMatch maps).
+
+    ``scene`` is a dense.scene_driver.SceneTensors.  Returns
+    (depth (N, H, W), normal (N, 3, H, W), conf (N, H, W)).
+    """
+    from hcmvs_tpu.dense.types import make_view_geometry, pixel_rays
+    from hcmvs_tpu.ops.gradients import normals_from_depth
+    n, h, w = scene.gray.shape
+
+    def per_view(i):
+        cam_i = jax.tree.map(lambda x: x[i], scene.cams)
+        cams_nbr = jax.tree.map(lambda x: x[scene.nbr_idx[i]], scene.cams)
+        geom = make_view_geometry(cam_i, cams_nbr)
+        depth, cost = sgm_match(geom, scene.gray[i],
+                                scene.gray[scene.nbr_idx[i][0]],
+                                scene.d_min[i], scene.d_max[i], n_depths)
+        rays = pixel_rays(geom.K_inv_ref, h, w)
+        normal = normals_from_depth(depth, rays)
+        conf = jnp.where(depth > 0,
+                         jnp.maximum(1.0 - cost / 18.0, 0.01), 0.0)
+        return depth, normal, conf
+
+    return jax.vmap(per_view)(jnp.arange(n))

@@ -69,3 +69,32 @@ def test_normals_from_depth_plane():
     inner = n[:, 4:-4, 4:-4]
     cos = np.abs((inner * gt[:, None, None]).sum(0))
     assert np.median(cos) > 0.999
+
+
+def test_sgm_scene_driver():
+    """--fusion-mode -1 path: per-view SGM maps + normals over a scene."""
+    import jax
+    import jax.numpy as jnp
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.dense.scene_driver import SceneTensors
+    from hcmvs_tpu.dense.sgm import sgm_scene
+    from hcmvs_tpu.utils.synth import make_plane_scene
+    sc = make_plane_scene(np.random.default_rng(4), h=48, w=64, n_views=3)
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    nbr = np.array([[j for j in range(3) if j != i][:2]
+                    for i in range(3)], np.int32)
+    scene = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]),
+        cams=cams, nbr_idx=jnp.asarray(nbr),
+        nbr_valid=jnp.ones((3, 2), bool),
+        d_min=jnp.full((3,), sc.d_min, jnp.float32),
+        d_max=jnp.full((3,), sc.d_max, jnp.float32))
+    depth, normal, conf = sgm_scene(scene, n_depths=48)
+    d0 = np.asarray(depth[0])
+    inner = np.s_[8:-8, 8:-8]
+    valid = d0[inner] > 0
+    rel = np.abs(d0[inner] - sc.depth_gt[inner]) / sc.depth_gt[inner]
+    assert valid.mean() > 0.5
+    assert np.median(rel[valid]) < 0.05
