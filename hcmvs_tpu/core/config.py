@@ -111,16 +111,22 @@ class DenseConfig:
                                        # HBM traffic of materialized
                                        # candidate intermediates loses to
                                        # the scan's reuse)
-    score_mode: str = "warped"         # "warped": sample each src view once
-                                       # per candidate at the warp center and
-                                       # take patch values from the warped
-                                       # image at static offsets (36x fewer
-                                       # gathers; exact for locally-planar
-                                       # hypothesis fields). "exact": warp
-                                       # every patch sample through the
-                                       # pixel's own plane homography
-                                       # (reference semantics; gather-bound
-                                       # at ~100M loads/s on TPU).
+    score_mode: str = "exact"          # "exact": warp every patch sample
+                                       # through the pixel's own plane
+                                       # homography (reference semantics).
+                                       # With packed-tap gathers this costs
+                                       # the same as "warped" on v5e (28.9
+                                       # vs 28.2 s/2-sweep at 320x240) and
+                                       # scores 0.95 vs 0.41 2%-accuracy on
+                                       # the ridge golden scene — exact is
+                                       # the production default.
+                                       # "warped": sample each src view
+                                       # once per candidate at the warp
+                                       # center and take patch values from
+                                       # the warped image at static
+                                       # offsets (Pallas-accelerated;
+                                       # exact only for locally-planar
+                                       # hypothesis fields).
 
     @property
     def num_patch_samples(self) -> int:

@@ -80,7 +80,7 @@ def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
     """
     ncc, bad = S.score_photometric(ctx.geom, ctx.src_grays, ctx.stats,
                                    ctx.hw, depth, normal, ctx.rays,
-                                   offsets, cfg)
+                                   offsets, cfg, phase)
     bonus = S.smoothness_bonus(cur_depth_map, cur_normal_map, ctx.rays,
                                depth, normal, cfg)
     # the bonus applies only to real matches: thRobust placeholders for

@@ -258,7 +258,11 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
     ref_center = stats.ref_pad[pad:pad + h, pad:pad + w]
     # partition: window corners are warped exactly (normal observability),
     # everything else reads the center-warped image — each offset once so
-    # the accumulation stays consistent with ref_patch_stats' weights
+    # the accumulation stays consistent with ref_patch_stats' weights.
+    # NOTE (measured): warped mode is only trustworthy on locally planar
+    # scenes — candidate fields carry each pixel's own propagated plane,
+    # so patches mix hypotheses on curved/ridge geometry (0.41 vs exact's
+    # 0.95 2%-accuracy on the ridge golden scene); exact is the default.
     corner_offsets = tuple((dy, dx) for dy, dx in offsets
                            if abs(dy) == pad and abs(dx) == pad)
     scan_offsets = tuple(o for o in offsets if o not in corner_offsets)
@@ -353,10 +357,18 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
 def score_photometric(geom: ViewGeometry, src_grays: jax.Array,
                       stats: RefPatchStats, hw: jax.Array, depth: jax.Array,
                       normal: jax.Array, rays: jax.Array, offsets,
-                      cfg: DenseConfig) -> Tuple[jax.Array, jax.Array]:
-    """Dispatch on cfg.score_mode."""
-    fn = (photometric_scores if cfg.score_mode == "exact"
-          else photometric_scores_warped)
+                      cfg: DenseConfig, phase: int = 1
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch on cfg.score_mode.
+
+    "hybrid" runs the cheap warped approximation during the photometric
+    exploration phase and exact reference-semantics scoring once the
+    geometric phase starts — most of the quality of exact at a fraction
+    of its cost (the early random/propagation sweeps only need scores
+    good enough to rank hypotheses)."""
+    exact = (cfg.score_mode == "exact"
+             or (cfg.score_mode == "hybrid" and phase >= 1))
+    fn = photometric_scores if exact else photometric_scores_warped
     return fn(geom, src_grays, stats, hw, depth, normal, rays, offsets, cfg)
 
 

@@ -1,0 +1,103 @@
+"""Golden end-to-end quality gate.
+
+One command running the FULL pipeline (SfM from images -> dense ->
+surface) on a synthetic ridge scene with known ground truth, printing one
+JSON line of quality metrics — the formalization of the reference's
+golden-run style (SURVEY §4: the run.py configs were its only "tests").
+
+    python -m hcmvs_tpu.eval.golden            # CPU by default
+
+Metrics:
+  ate_rmse        trajectory error of the SfM poses (similarity-aligned)
+  sfm_rms_px      frozen-pose reprojection RMS (pose quality)
+  depth_acc_2pct  fraction of valid dense-depth pixels within 2% of GT
+  cloud_dist      median distance of fused points to the GT surface
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
+        verbose: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.core.config import DenseConfig
+    from hcmvs_tpu.dense.fusion import compact_point_cloud, fuse_point_cloud
+    from hcmvs_tpu.dense.scene_driver import (SceneTensors, estimate_scene,
+                                              finalize)
+    from hcmvs_tpu.eval.pose_eval import ate, structure_from_known_poses
+    from hcmvs_tpu.sfm.incremental import SfMConfig, incremental_sfm
+    from hcmvs_tpu.utils.synth import make_ridge_scene
+
+    rng = np.random.default_rng(seed)
+    sc = make_ridge_scene(rng, h=h, w=w, n_views=n_views,
+                          spacing=0.25)
+    K = np.asarray(sc.cameras[0].K)
+
+    # --- SfM from pixels ---
+    result = incremental_sfm(
+        [im.astype(np.float32) for im in sc.images], K,
+        SfMConfig(max_keypoints=512, min_matches=20, min_pnp_inliers=10,
+                  ba_every=2), verbose=verbose)
+    gt_C = np.stack([c.C for c in sc.cameras])
+    reg = sorted(result.poses)
+    est_C = np.stack([result.poses[i][1] for i in reg])
+    # SfM scale is arbitrary: metrics after similarity alignment
+    pose_stats = ate(est_C, gt_C[reg])
+    sfm_rms = structure_from_known_poses(result, K)
+
+    # --- dense with the GT poses (isolates dense quality from SfM) ---
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    v = min(3, n_views - 1)
+    nbr = np.array([[j for j in range(n_views) if j != i][:v]
+                    for i in range(n_views)], np.int32)
+    zs = sc.depth_gt[sc.depth_gt > 0]
+    scene = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]),
+        cams=cams, nbr_idx=jnp.asarray(nbr),
+        nbr_valid=jnp.ones((n_views, v), bool),
+        d_min=jnp.full((n_views,), float(zs.min()) * 0.7, jnp.float32),
+        d_max=jnp.full((n_views,), float(zs.max()) * 1.4, jnp.float32))
+    cfg = DenseConfig(adapt_half_window=5, patch_half_window=3,
+                      patch_step=2, estimation_iters=2,
+                      estimation_iters_external=3, photo2geo=1,
+                      random_iters=3, use_optical_flow=0,
+                      use_geo_consistency=1, use_part_consistency=0,
+                      optimize=0)
+    state = estimate_scene(jax.random.PRNGKey(0), scene, cfg,
+                           verbose=verbose)
+    depth, normal, conf = finalize(state, cfg)
+    d0 = np.asarray(depth[0])
+    valid = (d0 > 0) & (sc.depth_gt > 0)
+    rel = np.abs(d0 - sc.depth_gt) / np.maximum(sc.depth_gt, 1e-9)
+    depth_acc = float(((rel < 0.02) & valid).sum() / max(valid.sum(), 1))
+
+    fused = fuse_point_cloud(depth, normal,
+                             jnp.maximum(1.0 - state.cost, 0.01),
+                             scene.cams, scene.nbr_idx, scene.nbr_valid,
+                             jnp.arange(n_views, dtype=jnp.float32), cfg)
+    cloud = compact_point_cloud(fused)
+    dist = (float(np.median(sc.surface_dist(cloud["points"])))
+            if len(cloud["points"]) else float("inf"))
+
+    return {"ate_rmse": round(pose_stats["rmse"], 5),
+            "sfm_rms_px": round(sfm_rms, 3),
+            "depth_acc_2pct": round(depth_acc, 3),
+            "cloud_dist": round(dist, 5),
+            "n_points": len(cloud["points"]),
+            "registered": len(reg), "views": n_views}
+
+
+def main():
+    print(json.dumps(run()))
+
+
+if __name__ == "__main__":
+    main()
