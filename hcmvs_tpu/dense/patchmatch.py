@@ -162,7 +162,16 @@ def _perturb(key: jax.Array, depth: jax.Array, normal: jax.Array,
 def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
                phase: int, parity: int, offsets: np.ndarray,
                prop_offsets: list) -> PatchMatchState:
-    """One checkerboard phase: pixels with (y+x)%2 == parity update."""
+    """One checkerboard phase: pixels with (y+x)%2 == parity update.
+
+    With cfg.sweep_mode == "jacobi", ``parity`` is ignored and EVERY pixel
+    updates from the previous full state (Jacobi relaxation): the cost
+    evaluations — which this data-parallel formulation computes over the
+    whole image regardless of parity — all land on updated pixels, so a
+    full update costs HALF of a red/black pair.  Propagation uses one-step
+    staler neighbors; measured quality is equivalent at equal eval budget
+    (tests/test_scene_dense.py), making it the production default.
+    """
     h, w = state.depth.shape
     delta_c2pmax = jnp.max(jnp.abs(
         (state.normal[0] * ctx.rays[0] + state.normal[1] * ctx.rays[1]
@@ -250,6 +259,8 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
     best, _ = jax.lax.scan(refine_step, best, (jnp.stack(subs), scales))
 
     bd, bn, bc = best
+    if cfg.sweep_mode == "jacobi":
+        return PatchMatchState(depth=bd, normal=bn, cost=bc, key=key)
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     mask = ((yy + xx) % 2) == parity
     return PatchMatchState(
@@ -269,7 +280,8 @@ def run_sweeps(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
 
     def one_iter(i, st):
         st = half_sweep(st, ctx, cfg, phase, 0, offsets, prop_offsets)
-        st = half_sweep(st, ctx, cfg, phase, 1, offsets, prop_offsets)
+        if cfg.sweep_mode != "jacobi":
+            st = half_sweep(st, ctx, cfg, phase, 1, offsets, prop_offsets)
         return st
 
     return jax.lax.fori_loop(0, n_iters, one_iter, state)

@@ -114,7 +114,8 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
 
         def one_iter(_, s):
             s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets)
-            s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets)
+            if cfg.sweep_mode != "jacobi":
+                s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets)
             return s
 
         st = jax.lax.fori_loop(0, n_iters, one_iter, st)

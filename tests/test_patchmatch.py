@@ -90,8 +90,10 @@ def test_patchmatch_recovers_plane(scene, score_mode):
     per-sweep cost is ~1/36th of exact."""
     cfg = TEST_CFG.replace(score_mode=score_mode)
     if score_mode == "warped":
+        # warped needs more (much cheaper) sweeps; pin the red/black
+        # schedule it was characterized with
         cfg = cfg.replace(estimation_iters=4, estimation_iters_external=3,
-                          random_iters=6)
+                          random_iters=6, sweep_mode="redblack")
     geom = make_view_geometry(scene.cameras[0], _stack_cams(scene.cameras[1:]))
     state = estimate_depth_map(
         jax.random.PRNGKey(0), geom, jnp.asarray(scene.images[0]),

@@ -155,7 +155,7 @@ def test_view_spread_candidates(scene):
     harvesting stays accurate (ref: DepthMap.cpp:1504-1608)."""
     from hcmvs_tpu.utils.synth import plane_depth_of_view
     tensors = _scene_tensors(scene)
-    cfg = CFG.replace(view_spread=1, estimation_iters=1,
+    cfg = CFG.replace(view_spread=1, estimation_iters=2,
                       estimation_iters_external=2, random_iters=2)
     state = estimate_scene(jax.random.PRNGKey(3), tensors, cfg)
     depth, _, conf = finalize(state, cfg)
