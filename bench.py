@@ -113,8 +113,9 @@ def worker(n_views, h, w, v_nbr, mode):
     # AOT compile: trace + compile WITHOUT executing or reading back, so
     # the process stays in fast async mode and the timed region is pure
     # dispatch + execution
+    from hcmvs_tpu.dense.scene_driver import phase_cfg
     t0 = time.perf_counter()
-    c_photo = scene_sweeps.lower(state, scene, cfg, 0,
+    c_photo = scene_sweeps.lower(state, scene, phase_cfg(cfg, 0), 0,
                                  cfg.estimation_iters, False).compile()
     c_geo = scene_sweeps.lower(state, scene, cfg, 1,
                                cfg.estimation_iters, True).compile()

@@ -150,6 +150,14 @@ def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
                       keys=sts.key)
 
 
+def phase_cfg(cfg: DenseConfig, phase: int) -> DenseConfig:
+    """Per-phase config: the exploration phase may use coarse patch
+    sampling (cfg.explore_patch_step)."""
+    if phase == 0 and cfg.explore_patch_step:
+        return cfg.replace(patch_step=cfg.explore_patch_step)
+    return cfg
+
+
 def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
                    verbose: bool = False) -> SceneState:
     """Full multi-view estimation with the HC-MVS external schedule."""
@@ -164,8 +172,8 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
         if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
                 and scene.prior_depth is None:
             scene = compute_scene_priors(state, scene)
-        state = scene_sweeps(state, scene, cfg, phase, cfg.estimation_iters,
-                             use_nbr)
+        state = scene_sweeps(state, scene, phase_cfg(cfg, phase), phase,
+                             cfg.estimation_iters, use_nbr)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, scene, cfg)
         if verbose:

@@ -160,11 +160,11 @@ def run_hierarchy(tensors_per_level: Dict[int, SceneTensors],
 
 def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
                verbose: bool) -> SceneState:
-    from hcmvs_tpu.dense.scene_driver import optimize_maps
+    from hcmvs_tpu.dense.scene_driver import optimize_maps, phase_cfg
     n_ext = cfg.estimation_iters_external
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
-        state = scene_sweeps(state, tensors, cfg, phase,
+        state = scene_sweeps(state, tensors, phase_cfg(cfg, phase), phase,
                              cfg.estimation_iters, phase >= 1)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, tensors, cfg)

@@ -22,7 +22,7 @@ CFG = DenseConfig(
     estimation_iters=2, estimation_iters_external=3, photo2geo=1,
     random_iters=3, use_optical_flow=0, use_geo_consistency=1,
     use_part_consistency=0, optimize=0, min_views_fuse=2,
-    score_mode="exact")
+    score_mode="exact", explore_patch_step=0)
 
 
 def _scene_tensors(sc, num_views=2):
