@@ -28,13 +28,15 @@ def run_pipeline(images: List[np.ndarray], K: np.ndarray, out_dir: str,
                  sfm_cfg: Optional[SfMConfig] = None,
                  dense_cfg: Optional[DenseConfig] = None,
                  with_mesh: bool = True, with_texture: bool = True,
-                 preset: str = "SEQUENTIAL",
+                 preset: str = "SEQUENTIAL", fusion_mode: int = 0,
                  verbose: bool = True) -> Dict:
     """Run the full reconstruction from grayscale images + intrinsics.
 
     ``preset``: "SEQUENTIAL" (incremental SfM) or "GLOBAL" (rotation +
     translation averaging) — the reference's MvgMvsPipeline presets
-    (ref: MvgMvsPipeline.py:116-122).
+    (ref: MvgMvsPipeline.py:116-122).  ``fusion_mode``: 0 = PatchMatch
+    densification; -1/-2 = the SGM stereo path (the MVS_SGM preset,
+    MvgMvsPipeline.py:119 / SceneDensify.cpp:3899-3911).
     """
     os.makedirs(out_dir, exist_ok=True)
     dense_cfg = dense_cfg or DenseConfig()
@@ -59,9 +61,13 @@ def run_pipeline(images: List[np.ndarray], K: np.ndarray, out_dir: str,
     reg = sorted(result.poses)
     grays = [images[i] for i in reg]
     tensors = build_scene_tensors(scene, grays, dense_cfg)
-    state = estimate_scene(jax.random.PRNGKey(0), tensors, dense_cfg,
-                           verbose=verbose)
-    depth, normal, conf = finalize(state, dense_cfg)
+    if fusion_mode < 0:
+        from hcmvs_tpu.dense.sgm import sgm_scene
+        depth, normal, conf = sgm_scene(tensors)
+    else:
+        state = estimate_scene(jax.random.PRNGKey(0), tensors, dense_cfg,
+                               verbose=verbose)
+        depth, normal, conf = finalize(state, dense_cfg)
     priority = jnp.arange(len(reg), dtype=jnp.float32)
     fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
                              tensors.nbr_idx, tensors.nbr_valid, priority,

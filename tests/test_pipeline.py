@@ -190,3 +190,22 @@ def test_densify_hierarchical_cli(tmp_path, scene):
     assert stats["valid_frac"] > 0.3
     assert os.path.exists(os.path.join(out, "depthmap", "depth0000.dmap"))
     assert os.path.exists(os.path.join(out, "scene_dense.ply"))
+
+
+def test_run_pipeline_sgm_preset(tmp_path):
+    """Full images->SfM->SGM dense->mesh->texture pipeline (the MVS_SGM
+    preset / --fusion-mode -1 path)."""
+    from hcmvs_tpu.pipeline.mvgmvs import run_pipeline
+    from hcmvs_tpu.sfm.incremental import SfMConfig
+    from hcmvs_tpu.utils.synth import make_ridge_scene
+    sc = make_ridge_scene(np.random.default_rng(3), h=144, w=192,
+                          n_views=4, fx=180.0, z0=4.0, spacing=0.25)
+    K = np.array([[180.0, 0, 96], [0, 180.0, 72], [0, 0, 1.0]])
+    out = run_pipeline(
+        [im.astype(np.float32) for im in sc.images], K,
+        str(tmp_path / "out"),
+        sfm_cfg=SfMConfig(max_keypoints=512, min_matches=20,
+                          min_pnp_inliers=10, ba_every=2),
+        dense_cfg=CFG, fusion_mode=-1, verbose=False)
+    assert len(out["cloud"]["points"]) > 200
+    assert os.path.exists(str(tmp_path / "out" / "scene_dense.ply"))
