@@ -117,7 +117,7 @@ def worker(n_views, h, w, v_nbr, mode):
     t0 = time.perf_counter()
     c_photo = scene_sweeps.lower(state, scene, phase_cfg(cfg, 0), 0,
                                  cfg.estimation_iters, False).compile()
-    c_geo = scene_sweeps.lower(state, scene, cfg, 1,
+    c_geo = scene_sweeps.lower(state, scene, phase_cfg(cfg, 1, True), 1,
                                cfg.estimation_iters, True).compile()
     print(f"[bench] AOT compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)

@@ -150,10 +150,15 @@ def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
                       keys=sts.key)
 
 
-def phase_cfg(cfg: DenseConfig, phase: int) -> DenseConfig:
-    """Per-phase config: the exploration phase may use coarse patch
-    sampling (cfg.explore_patch_step)."""
-    if phase == 0 and cfg.explore_patch_step:
+def phase_cfg(cfg: DenseConfig, phase: int,
+              is_final: bool = False) -> DenseConfig:
+    """Per-phase config: every external iteration except the FINAL one may
+    use coarse patch sampling (cfg.explore_patch_step) — hypothesis
+    ranking converges equally well with 9-sample patches (ridge golden
+    scene: 0.919 vs 0.922 full); only the last iteration's scores gate the
+    confidence threshold and need full sampling."""
+    del phase
+    if not is_final and cfg.explore_patch_step:
         return cfg.replace(patch_step=cfg.explore_patch_step)
     return cfg
 
@@ -172,8 +177,9 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
         if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
                 and scene.prior_depth is None:
             scene = compute_scene_priors(state, scene)
-        state = scene_sweeps(state, scene, phase_cfg(cfg, phase), phase,
-                             cfg.estimation_iters, use_nbr)
+        state = scene_sweeps(state, scene,
+                             phase_cfg(cfg, phase, it_ext == n_ext - 1),
+                             phase, cfg.estimation_iters, use_nbr)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, scene, cfg)
         if verbose:

@@ -164,8 +164,9 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     n_ext = cfg.estimation_iters_external
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
-        state = scene_sweeps(state, tensors, phase_cfg(cfg, phase), phase,
-                             cfg.estimation_iters, phase >= 1)
+        state = scene_sweeps(state, tensors,
+                             phase_cfg(cfg, phase, it_ext == n_ext - 1),
+                             phase, cfg.estimation_iters, phase >= 1)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, tensors, cfg)
     return state

@@ -20,6 +20,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the dense sweeps compile in tens of
+# seconds on CPU and dominate suite time; cached executables survive
+# across test processes and runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HCMVS_TEST_CACHE",
+                                 "/tmp/hcmvs_test_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
