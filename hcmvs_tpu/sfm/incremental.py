@@ -39,6 +39,8 @@ class SfMConfig:
     min_pnp_inliers: int = 12
     ba_every: int = 3
     final_ba_iters: int = 25
+    max_homography_ratio: float = 0.85  # init pairs with H/E inlier ratio
+                                        # above this are planar-degenerate
 
 
 @dataclasses.dataclass
@@ -99,8 +101,12 @@ def sfm_from_matches(xy: List[np.ndarray],
         raise ValueError("no image pairs with enough matches")
 
     # 3. init pair: two-view RANSAC on every candidate, pick the pair with
-    # the most inliers (ties broken by parallax through the E decomposition)
+    # the most E inliers among pairs NOT explained by a homography —
+    # OpenMVG's AUTO model selection (a pair whose matches a homography
+    # explains is planar / low-parallax and degenerate for initialization)
+    from hcmvs_tpu.sfm.two_view import ransac_homography
     best_pair, best_res, best_inl = None, None, -1
+    fallback = (None, None, -1)
     for (i, j), pairs in pair_matches.items():
         p0 = _normalize(xy[i][pairs[:, 0]], K).astype(np.float32)
         p1 = _normalize(xy[j][pairs[:, 1]], K).astype(np.float32)
@@ -109,8 +115,20 @@ def sfm_from_matches(xy: List[np.ndarray],
                                jnp.ones(len(p0), bool),
                                cfg.ransac_threshold)
         n_inl = int(res.n_inliers)
+        key, sub = jax.random.split(key)
+        hres = ransac_homography(sub, jnp.asarray(p0), jnp.asarray(p1),
+                                 jnp.ones(len(p0), bool),
+                                 2.0 * cfg.ransac_threshold)
+        h_ratio = int(hres.n_inliers) / max(n_inl, 1)
+        if n_inl > fallback[2]:
+            fallback = ((i, j), res, n_inl)
+        if h_ratio > cfg.max_homography_ratio:
+            continue
         if n_inl > best_inl:
             best_pair, best_res, best_inl = (i, j), res, n_inl
+    if best_pair is None:
+        # every pair is near-planar: take the strongest anyway
+        best_pair, best_res, best_inl = fallback
     i0, i1 = best_pair
     if verbose:
         print(f"[sfm] init pair ({i0},{i1}) inliers={best_inl}")

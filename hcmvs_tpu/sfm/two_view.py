@@ -247,3 +247,61 @@ def recover_pose(E: jax.Array, pts0: jax.Array, pts1: jax.Array,
     Rs = jnp.stack([c[0] for c in candidates])
     ts = jnp.stack([c[1] for c in candidates])
     return Rs[best], ts[best]
+
+
+class HomographyResult(NamedTuple):
+    H: jax.Array           # (3, 3)
+    inliers: jax.Array     # (N,) bool
+    n_inliers: jax.Array   # scalar
+
+
+def _dlt_homography(p0: jax.Array, p1: jax.Array) -> jax.Array:
+    """(4+, 2) point pairs -> 3x3 homography via DLT (SVD null vector)."""
+    n = p0.shape[0]
+    zeros = jnp.zeros((n,))
+    ones = jnp.ones((n,))
+    x, y = p0[:, 0], p0[:, 1]
+    u, v = p1[:, 0], p1[:, 1]
+    r1 = jnp.stack([-x, -y, -ones, zeros, zeros, zeros,
+                    u * x, u * y, u], axis=1)
+    r2 = jnp.stack([zeros, zeros, zeros, -x, -y, -ones,
+                    v * x, v * y, v], axis=1)
+    A = jnp.concatenate([r1, r2])
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    H = Vt[-1].reshape(3, 3)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+
+
+def homography_transfer_error(H: jax.Array, p0: jax.Array,
+                              p1: jax.Array) -> jax.Array:
+    """Squared forward transfer error |H p0 - p1|^2."""
+    q = p0 @ H[:, :2].T + H[:, 2]
+    z = jnp.where(jnp.abs(q[:, 2]) < 1e-12, 1e-12, q[:, 2])
+    return jnp.sum((q[:, :2] / z[:, None] - p1) ** 2, axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_hyps",))
+def ransac_homography(key: jax.Array, p0: jax.Array, p1: jax.Array,
+                      valid: jax.Array, threshold: float = 2e-5,
+                      n_hyps: int = 256) -> HomographyResult:
+    """Vmapped 4-point homography RANSAC (normalized coordinates).
+
+    Used for the OpenMVG-style AUTO model selection (ref: the '-g e'
+    matching mode and init-pair guard, MvgMvsPipeline.py:325-328): a pair
+    whose matches are explained as well by a homography as by the
+    essential matrix is planar/low-parallax and unsafe to initialize from.
+    """
+    n = p0.shape[0]
+    logits = jnp.where(valid, 0.0, -1e9)
+    idx = jax.random.categorical(key, logits, shape=(n_hyps, 4))
+
+    def solve(sample_idx):
+        return _dlt_homography(p0[sample_idx], p1[sample_idx])
+
+    Hs = jax.vmap(solve)(idx)
+    errs = jax.vmap(lambda H: homography_transfer_error(H, p0, p1))(Hs)
+    inl = (errs < threshold) & valid[None]
+    scores = inl.sum(axis=1)
+    best = jnp.argmax(scores)
+    return HomographyResult(H=Hs[best], inliers=inl[best],
+                            n_inliers=scores[best])

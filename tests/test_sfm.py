@@ -173,3 +173,32 @@ def test_rodrigues_roundtrip():
     # identity
     np.testing.assert_allclose(
         np.asarray(rodrigues(jnp.zeros(3))), np.eye(3), atol=1e-6)
+
+
+def test_homography_model_selection():
+    """AUTO model selection: a planar pair is explained by H (ratio ~1),
+    a 3D pair is not (ratio << 1)."""
+    import jax.numpy as jnp
+    from hcmvs_tpu.sfm.two_view import ransac_essential, ransac_homography
+    rng = np.random.default_rng(0)
+    n = 120
+    R, t = np.eye(3), np.array([0.4, 0.0, 0.0])
+
+    def project_pair(X):
+        p0 = X[:, :2] / X[:, 2:3]
+        X1 = X @ R.T + t
+        p1 = X1[:, :2] / X1[:, 2:3]
+        return (jnp.asarray(p0, jnp.float32), jnp.asarray(p1, jnp.float32))
+
+    planar = np.column_stack([rng.uniform(-1, 1, (n, 2)), np.full(n, 4.0)])
+    deep = np.column_stack([rng.uniform(-1, 1, (n, 2)),
+                            rng.uniform(3, 6, n)])
+    ratios = []
+    for X in (planar, deep):
+        p0, p1 = project_pair(X)
+        ok = jnp.ones(n, bool)
+        e = ransac_essential(jax.random.PRNGKey(1), p0, p1, ok, 2e-5)
+        h = ransac_homography(jax.random.PRNGKey(0), p0, p1, ok, 4e-5)
+        ratios.append(int(h.n_inliers) / max(int(e.n_inliers), 1))
+    assert ratios[0] > 0.9     # planar: homography explains everything
+    assert ratios[1] < 0.5     # 3D: it cannot
