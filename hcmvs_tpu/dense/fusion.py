@@ -270,3 +270,41 @@ def compact_point_cloud(fused: dict) -> dict:
     for name in ("weights", "support"):
         out[name] = np.asarray(fused[name]).reshape(-1)[keep]
     return out
+
+
+def estimate_point_labels(points: np.ndarray, owner_view: np.ndarray,
+                          semantic: np.ndarray, cams: "Camera"
+                          ) -> np.ndarray:
+    """Per-point semantic labels by projecting each fused point into its
+    owner view's mask (ref: EstimatePointLabels,
+    frame_main/libs/MVS/DepthMap.cpp:2165).  Host-side: runs once per
+    scene on the compacted cloud.
+
+    Args:
+      points: (P, 3) world points.
+      owner_view: (P,) view index that fused each point.
+      semantic: (N, H, W) integer label maps.
+      cams: batched Camera.
+    Returns (P,) int32 labels (-1 where the projection misses).
+    """
+    import numpy as _np
+    Ks = _np.asarray(cams.K)
+    Rs = _np.asarray(cams.R)
+    Cs = _np.asarray(cams.C)
+    n, h, w = semantic.shape
+    labels = _np.full(len(points), -1, _np.int32)
+    for v in range(n):
+        sel = owner_view == v
+        if not sel.any():
+            continue
+        Xc = (points[sel] - Cs[v]) @ Rs[v].T
+        z = Xc[:, 2]
+        uv = Xc @ Ks[v].T
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            x = _np.round(uv[:, 0] / uv[:, 2]).astype(int)
+            y = _np.round(uv[:, 1] / uv[:, 2]).astype(int)
+        ok = (z > 0) & (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        lab = _np.full(sel.sum(), -1, _np.int32)
+        lab[ok] = semantic[v, y[ok], x[ok]]
+        labels[sel] = lab
+    return labels

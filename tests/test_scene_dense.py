@@ -260,3 +260,17 @@ def test_save_depth_png(tmp_path):
     assert img.shape[:2] == (16, 24)
     assert img[0, 0].max() <= 5.0 / 255  # invalid = black (normalized)
     assert img[8, 12].max() > 0.2
+
+
+def test_estimate_point_labels():
+    from hcmvs_tpu.core.camera import Camera as Cam
+    from hcmvs_tpu.dense.fusion import estimate_point_labels
+    import jax.numpy as jnp
+    K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    cams = Cam(K=jnp.asarray(K)[None], R=jnp.eye(3)[None],
+               C=jnp.zeros(3)[None])
+    sem = np.zeros((1, 48, 64), np.int32)
+    sem[0, :, 32:] = 7
+    pts = np.array([[-0.5, 0, 4.0], [0.5, 0, 4.0], [100, 0, 4.0]])
+    lab = estimate_point_labels(pts, np.zeros(3, int), sem, cams)
+    assert lab[0] == 0 and lab[1] == 7 and lab[2] == -1
