@@ -37,3 +37,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules: a single pytest
+    process accumulates every module's jit programs (hundreds of MB of
+    CPU executables + 8-device arrays) and starts thrashing; with the
+    persistent compilation cache, re-loading is cheap."""
+    yield
+    jax.clear_caches()
