@@ -102,20 +102,27 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     scene = read_mvs(scene_path)
     n = len(scene.images)
 
-    # load + scale images to the working resolution
-    grays = []
+    # load + scale images to the working resolution (color kept for the
+    # fused cloud's per-point colors — nEstimateColors)
+    grays, colors = [], []
     scale = None
     for i in range(n):
         name = scene.images[i].name
         path = name if os.path.isabs(name) else os.path.join(images_dir,
                                                              os.path.basename(name))
-        img = load_image(path, gray=True)
+        img = load_image(path)
         if scale is None:
             scale = compute_resolution_scale(img.shape[1], img.shape[0],
                                              cfg.resolution_level,
                                              cfg.max_resolution,
                                              cfg.min_resolution)
-        grays.append(resize_image(img, scale))
+        img = resize_image(img, scale)
+        if img.ndim == 3:
+            colors.append(img)
+            grays.append(img.mean(-1).astype(np.float32))
+        else:
+            colors.append(np.repeat(img[..., None], 3, -1))
+            grays.append(img)
     # scale intrinsics: handled by intrinsics_of via working size
     h, w = grays[0].shape
 
@@ -180,7 +187,9 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     with stage_timer("densify.fuse", log=verbose):
         fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
                                  tensors.nbr_idx, tensors.nbr_valid,
-                                 priority, cfg)
+                                 priority, cfg,
+                                 colors=jnp.asarray(np.stack(colors)),
+                                 with_colors=cfg.estimate_colors > 0)
         cloud = compact_point_cloud(fused)
     owner0 = np.nonzero(np.asarray(fused["keep"]).reshape(n, -1))[0]
     if filter_point_cloud is not None and len(cloud["points"]):
@@ -194,8 +203,9 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
                      and len(v) == len(keep) else v)
                  for k, v in cloud.items()}
         owner0 = owner0[keep]
+    col_u8 = np.clip(cloud["colors"] * 255, 0, 255).astype(np.uint8)
     write_ply_points(os.path.join(out_dir, "scene_dense.ply"),
-                     cloud["points"], cloud["normals"])
+                     cloud["points"], cloud["normals"], colors=col_u8)
 
     # dense scene .mvs (points + per-point views)
     dense_scene = SceneMVS(platforms=scene.platforms, images=scene.images,
