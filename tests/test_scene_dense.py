@@ -274,3 +274,35 @@ def test_estimate_point_labels():
     pts = np.array([[-0.5, 0, 4.0], [0.5, 0, 4.0], [100, 0, 4.0]])
     lab = estimate_point_labels(pts, np.zeros(3, int), sem, cams)
     assert lab[0] == 0 and lab[1] == 7 and lab[2] == -1
+
+
+def test_occlusion_scene_quality():
+    """Depth discontinuities + per-view occlusion (foreground plate over a
+    background plane): estimation with the cross-view filter must keep
+    both surfaces accurate away from the ~boundary band."""
+    from hcmvs_tpu.utils.synth import make_box_scene
+    sc = make_box_scene(np.random.default_rng(0), h=96, w=128, n_views=4)
+    n, v = 4, 3
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    nbr = np.array([[j for j in range(n) if j != i][:v]
+                    for i in range(n)], np.int32)
+    tensors = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]),
+        cams=cams, nbr_idx=jnp.asarray(nbr),
+        nbr_valid=jnp.ones((n, v), bool),
+        d_min=jnp.full((n,), sc.d_min, jnp.float32),
+        d_max=jnp.full((n,), sc.d_max, jnp.float32))
+    cfg = CFG.replace(optimize=1, explore_patch_step=4,
+                      score_mode="exact")
+    state = estimate_scene(jax.random.PRNGKey(0), tensors, cfg)
+    depth, _, _ = finalize(state, cfg)
+    for i in range(2):
+        d0 = np.asarray(depth[i])
+        gt = sc.depth_gts[i]
+        valid = (d0 > 0) & (gt > 0)
+        rel = np.abs(d0 - gt) / gt
+        acc = ((rel < 0.02) & valid).sum() / max(valid.sum(), 1)
+        assert acc > 0.75, (i, acc)
+        assert valid.mean() > 0.9
