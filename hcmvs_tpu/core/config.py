@@ -100,15 +100,18 @@ class DenseConfig:
     estimate_normals: int = 2          # nEstimateNormals
 
     # --- TPU-only knobs (no reference analog) ------------------------------
-    explore_patch_step: int = 4        # patch sample step during the
-                                       # photometric exploration phase
-                                       # (phase 0); 0 disables.  Coarse
-                                       # 9-sample patches rank hypotheses
-                                       # just as well (ridge golden scene:
-                                       # 0.922 == full-sampling budget) at
-                                       # ~4x fewer scoring gathers; the
-                                       # geometric/final phases always use
-                                       # the full patch_step sampling.
+    explore_patch_step: int = 4        # patch sample step during every
+                                       # external iteration EXCEPT the
+                                       # final one (photometric and
+                                       # geometric alike); 0 disables.
+                                       # Coarse 9-sample patches rank
+                                       # hypotheses just as well (ridge
+                                       # golden scene: 0.922 == full-
+                                       # sampling budget) at ~4x fewer
+                                       # scoring gathers; only the final
+                                       # iteration — whose scores gate the
+                                       # confidence threshold — uses the
+                                       # full patch_step sampling.
     geo_max_neighbors: int = 4         # neighbor depth maps gathered for geo
     agg_top_k: int = 0                 # 0: min-mean aggregation over views
                                        # (ref DENSE_AGGNCC_MINMEAN), else top-k

@@ -145,11 +145,12 @@ def sgm_aggregate(cost: jax.Array, p1: float = 3.0,
     return total
 
 
-@partial(jax.jit, static_argnames=("n_depths",))
+@partial(jax.jit, static_argnames=("n_depths", "n_paths"))
 def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
               d_min: jax.Array, d_max: jax.Array, n_depths: int = 64,
               p1: float = 3.0, p2: float = 20.0,
-              max_cost: float = 18.0) -> Tuple[jax.Array, jax.Array]:
+              max_cost: float = 18.0,
+              n_paths: int = 8) -> Tuple[jax.Array, jax.Array]:
     """Full SGM depth for a view pair: (depth (H, W), cost (H, W)).
 
     WTA over the aggregated volume + parabola sub-pixel refinement in
@@ -159,7 +160,7 @@ def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
     """
     vol, inv_depths = cost_volume(geom, ref_gray, src_gray, d_min, d_max,
                                   n_depths)
-    agg = sgm_aggregate(vol, p1, p2)
+    agg = sgm_aggregate(vol, p1, p2, n_paths)
     best = jnp.argmin(agg, axis=0)                      # (H, W)
     d_idx = jnp.clip(best, 1, n_depths - 2)
     h, w = ref_gray.shape
@@ -174,7 +175,7 @@ def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
     step = inv_depths[1] - inv_depths[0]
     inv_d = inv_depths[d_idx] + offset * step
     depth = 1.0 / jnp.maximum(inv_d, 1e-9)
-    win_cost = c1 / 4.0                                 # per-path average
+    win_cost = c1 / float(n_paths)                      # per-path average
     depth = jnp.where(win_cost < max_cost, depth, 0.0)
     return depth, win_cost
 

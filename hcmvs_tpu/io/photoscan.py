@@ -104,8 +104,15 @@ def write_photoscan_xml(path: str, scene: SceneMVS) -> None:
             if cam.width and cam.height:
                 ET.SubElement(calib, "resolution", width=str(cam.width),
                               height=str(cam.height))
+            # Metashape document version >= 1.2 stores cx/cy as offsets
+            # from the image center; emit offsets to match the declared
+            # version (absolute only when the resolution is unknown).
+            cx, cy = float(cam.K[0, 2]), float(cam.K[1, 2])
+            if cam.width and cam.height:
+                cx -= cam.width / 2.0
+                cy -= cam.height / 2.0
             for tag, val in (("fx", cam.K[0, 0]), ("fy", cam.K[1, 1]),
-                             ("cx", cam.K[0, 2]), ("cy", cam.K[1, 2])):
+                             ("cx", cx), ("cy", cy)):
                 el = ET.SubElement(calib, tag)
                 el.text = f"{float(val):.10g}"
     cams_el = ET.SubElement(chunk, "cameras")

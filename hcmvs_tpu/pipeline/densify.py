@@ -28,7 +28,7 @@ from hcmvs_tpu.dense.view_selection import (depth_range_from_points,
                                             pair_scores, select_neighbors)
 from hcmvs_tpu.io.dmap import DepthMapData, write_dmap
 from hcmvs_tpu.io.images import compute_resolution_scale, load_image, \
-    resize_image
+    resize_image, to_gray
 from hcmvs_tpu.io.mvs import SceneMVS, read_mvs, write_mvs
 from hcmvs_tpu.io.ply import write_ply_points
 
@@ -119,7 +119,9 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
         img = resize_image(img, scale)
         if img.ndim == 3:
             colors.append(img)
-            grays.append(img.mean(-1).astype(np.float32))
+            # BT.601 luminance, matching the reference's cv2
+            # IMREAD_GRAYSCALE conversion
+            grays.append(to_gray(img).astype(np.float32))
         else:
             colors.append(np.repeat(img[..., None], 3, -1))
             grays.append(img)
