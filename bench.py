@@ -42,10 +42,12 @@ import sys
 import time
 
 CACHE_DIR = "/tmp/hcmvs_bench_jax_cache"
-BASELINE_VIEWS_PER_S = 0.2  # estimated 32-core CPU reference (see docstring)
-# flagship 320x240 (the 640x480 workload still exceeds the tunnel's
-# per-process time budget: AOT compile + sync-mode execution > 8 min)
-SIZES = [(4, 240, 320, 3), (4, 96, 128, 3)]
+# estimated 32-core CPU reference at 640x480 (see docstring); smaller
+# sizes scale the estimate by pixel count
+BASELINE_VIEWS_PER_S = {(480, 640): 0.2, (240, 320): 0.8, (96, 128): 20.0}
+# flagship 640x480 (reference-realistic); ladder falls back on tunnel
+# failures
+SIZES = [(4, 480, 640, 3), (4, 240, 320, 3), (4, 96, 128, 3)]
 
 
 def main():
@@ -108,23 +110,31 @@ def worker(n_views, h, w, v_nbr, mode):
     import numpy as np
     from hcmvs_tpu.dense.scene_driver import scene_sweeps
 
+    import dataclasses
     state, scene, cfg = _build(n_views, h, w, v_nbr)
 
     # AOT compile: trace + compile WITHOUT executing or reading back, so
     # the process stays in fast async mode and the timed region is pure
     # dispatch + execution
-    from hcmvs_tpu.dense.scene_driver import phase_cfg
+    from hcmvs_tpu.dense.scene_driver import (_build_scene_volumes,
+                                              phase_cfg)
+    from hcmvs_tpu.dense.score import use_volume_tables
     t0 = time.perf_counter()
-    c_photo = scene_sweeps.lower(state, scene, phase_cfg(cfg, 0), 0,
+    use_vol = use_volume_tables(cfg)
+    c_vol = (_build_scene_volumes.lower(scene).compile() if use_vol
+             else None)
+    scene_v = (dataclasses.replace(scene, vols=c_vol(scene)) if use_vol
+               else scene)
+    c_photo = scene_sweeps.lower(state, scene_v, phase_cfg(cfg, 0), 0,
                                  cfg.estimation_iters, False).compile()
-    c_geo = scene_sweeps.lower(state, scene, phase_cfg(cfg, 1, True), 1,
+    c_geo = scene_sweeps.lower(state, scene_v, phase_cfg(cfg, 1, True), 1,
                                cfg.estimation_iters, True).compile()
     print(f"[bench] AOT compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    def one_round(st):
-        st = c_photo(st, scene)
-        st = c_geo(st, scene)
+    def one_round(st, sv):
+        st = c_photo(st, sv)
+        st = c_geo(st, sv)
         # per-phase readback keeps each tunnel execution short (the worker
         # crashes on very long single executions) and forces sync mode
         _ = float(np.asarray(st.depth[0, 0, 0]))
@@ -133,22 +143,38 @@ def worker(n_views, h, w, v_nbr, mode):
     # warmup: first execution pays device-side load + flips into the
     # deterministic synchronous mode that the timed region measures
     t0 = time.perf_counter()
-    state = one_round(state)
+    state = one_round(state, scene_v)
     print(f"[bench] warmup exec {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
+
+    # the sigma-volume tables are built once per STAGE in production
+    # (4 external x 3 inner sweeps); each bench round runs 4 sweeps, so
+    # charge each round a 4/12 share of the measured sync-mode build time
+    build_share = 0.0
+    if use_vol:
+        t0 = time.perf_counter()
+        vols = c_vol(scene)
+        _ = float(np.asarray(vols.tab[0, 0, 0, 0]))
+        build_time = time.perf_counter() - t0
+        build_share = build_time * (2 * cfg.estimation_iters) / 12.0
+        print(f"[bench] volume build {build_time:.2f}s "
+              f"(charged {build_share:.2f}s/round)",
+              file=sys.stderr, flush=True)
 
     n_rounds = 2
     t0 = time.perf_counter()
     for _ in range(n_rounds):
-        state = one_round(state)
-    elapsed = time.perf_counter() - t0
+        state = one_round(state, scene_v)
+    elapsed = time.perf_counter() - t0 + build_share * n_rounds
 
     views_per_s = n_views * n_rounds / elapsed
+    base = BASELINE_VIEWS_PER_S.get((h, w), 0.2)
     print(json.dumps({
         "metric": "views_densified_per_s",
         "value": round(views_per_s, 3),
-        "unit": f"views/s ({w}x{h}, {v_nbr} nbrs, 2 sweeps x 2 phases)",
-        "vs_baseline": round(views_per_s / BASELINE_VIEWS_PER_S, 2),
+        "unit": f"views/s ({w}x{h}, {v_nbr} nbrs, 2 sweeps x 2 phases, "
+                f"incl. amortized volume build)",
+        "vs_baseline": round(views_per_s / base, 2),
     }), flush=True)
 
 

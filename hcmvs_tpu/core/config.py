@@ -112,6 +112,20 @@ class DenseConfig:
                                        # iteration — whose scores gate the
                                        # confidence threshold — uses the
                                        # full patch_step sampling.
+    cross_scale_inject: int = 1        # B stages: score the upsampled
+                                       # previous-level (depth, normal) as a
+                                       # PatchMatch candidate at the last
+                                       # inner x external iteration with a
+                                       # 0.1 score bonus — the reference's
+                                       # restore-variant semantics
+                                       # (restore/libs/MVS/
+                                       # DepthMap.cpp:1527-1549)
+    cross_scale_prior: int = 1         # B stages: ALSO feed the upsampled
+                                       # previous-level depth through the
+                                       # soft prior term until semantic
+                                       # priors replace it (ref: restore
+                                       # resize_/nresize_ maps feeding
+                                       # GenerateFinalPrior)
     geo_max_neighbors: int = 4         # neighbor depth maps gathered for geo
     agg_top_k: int = 0                 # 0: min-mean aggregation over views
                                        # (ref DENSE_AGGNCC_MINMEAN), else top-k
@@ -152,6 +166,17 @@ class DenseConfig:
                                        # offsets (Pallas-accelerated;
                                        # exact only for locally-planar
                                        # hypothesis fields).
+    exact_backend: str = "auto"        # how exact scoring fetches source
+                                       # samples.  "auto": sigma-volume
+                                       # tables + the Pallas lane-gather
+                                       # kernel on TPU (ops/volume.py —
+                                       # the per-index XLA gathers that
+                                       # bottlenecked round 1 become
+                                       # ~45G-lookup/s vreg gathers),
+                                       # direct bilinear gathers
+                                       # elsewhere.  "volume": force the
+                                       # tables (CPU parity tests).
+                                       # "bilinear": force direct gathers.
 
     @property
     def num_patch_samples(self) -> int:

@@ -119,52 +119,187 @@ def cross_view_filter(depths: jax.Array, normals: jax.Array,
 
 
 def _gap_fill_1d(depth_row: jax.Array, conf_row: jax.Array, gap: int,
-                 thr: float) -> Tuple[jax.Array, jax.Array]:
-    """Fill invalid runs up to ``gap`` pixels between similar valid depths
-    by linear interpolation (one row; vmapped over rows/columns)."""
+                 thr: float,
+                 gra_row: Optional[jax.Array] = None,
+                 normal_row: Optional[jax.Array] = None,
+                 tx_gate: float = 0.1):
+    """Fill invalid runs between valid depths by linear interpolation
+    (one row; vmapped over rows/columns).
+
+    Runs up to ``gap`` pixels fill when the endpoint depths are similar
+    (ref: GapInterpolation small-gap branch, SceneDensify.cpp:2295-2360);
+    LONGER runs fill only when the texture-gradient ratio across the gap
+    is below ``tx_gate`` — similar texture implies the same surface
+    crossing a fusion hole (ref: the texture_ratio <= 0.1 gates,
+    :2360-2460).  Normals, when given as (W, 3), are interpolated and
+    renormalized (the reference lerps in spherical dir space).
+    """
     w = depth_row.shape[0]
     idx = jnp.arange(w, dtype=jnp.float32)
     valid = depth_row > 0
+    has_tx = gra_row is not None
+    gra_row = gra_row if has_tx else jnp.zeros_like(depth_row)
+    has_n = normal_row is not None
+    nr = normal_row if has_n else jnp.zeros((w, 3), jnp.float32)
 
     def scan_dir(xs, reverse):
         def step(carry, x):
-            last_i, last_d, last_c = carry
-            i, d, c, v = x
-            new = (jnp.where(v, i, last_i), jnp.where(v, d, last_d),
-                   jnp.where(v, c, last_c))
+            i, d, c, g, n3, v = x
+            new = tuple(jnp.where(v, a, b) for a, b in
+                        zip((i, d, c, g), carry[:4]))
+            new = new + (jnp.where(v, n3, carry[4]),)
             return new, new
         init = (jnp.float32(-1e9) if not reverse else jnp.float32(1e9),
-                jnp.float32(0.0), jnp.float32(0.0))
+                jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+                jnp.zeros(3, jnp.float32))
         _, out = jax.lax.scan(step, init, xs, reverse=reverse)
         return out
 
-    xs = (idx, depth_row, conf_row, valid)
-    li, ld, lc = scan_dir(xs, False)     # nearest valid on the left (incl self)
-    ri, rd, rc = scan_dir(xs, True)      # nearest valid on the right
+    xs = (idx, depth_row, conf_row, gra_row, nr, valid)
+    li, ld, lc, lg, ln = scan_dir(xs, False)   # nearest valid left
+    ri, rd, rc, rg, rn = scan_dir(xs, True)    # nearest valid right
     span = ri - li
     similar = jnp.abs(ld - rd) < thr * jnp.maximum(ld, rd)
-    fill = (~valid) & (span <= gap + 1) & (ld > 0) & (rd > 0) & similar
+    ends = (ld > 0) & (rd > 0)
+    small = (~valid) & (span <= gap + 1) & ends & similar
+    if has_tx:
+        tx_ok = (jnp.abs(rg - lg) / jnp.maximum(lg, 1e-6)) <= tx_gate
+        large = (~valid) & (span > gap + 1) & ends & (tx_ok | similar)
+        fill = small | large
+    else:
+        fill = small
     t = (idx - li) / jnp.where(span == 0, 1.0, span)
     d_interp = ld * (1 - t) + rd * t
     c_interp = jnp.minimum(lc, rc)
-    return (jnp.where(fill, d_interp, depth_row),
-            jnp.where(fill, c_interp, conf_row))
+    depth_out = jnp.where(fill, d_interp, depth_row)
+    conf_out = jnp.where(fill, c_interp, conf_row)
+    if has_n:
+        n_interp = ln * (1 - t)[:, None] + rn * t[:, None]
+        n_interp = n_interp / jnp.maximum(
+            jnp.linalg.norm(n_interp, axis=-1, keepdims=True), 1e-9)
+        normal_out = jnp.where(fill[:, None], n_interp, nr)
+        return depth_out, conf_out, normal_out
+    return depth_out, conf_out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def gap_interpolate(depth: jax.Array, conf: jax.Array,
-                    cfg: DenseConfig) -> Tuple[jax.Array, jax.Array]:
+                    cfg: DenseConfig,
+                    gra: Optional[jax.Array] = None,
+                    normal: Optional[jax.Array] = None):
     """Row then column gap interpolation on one (H, W) depth map
-    (ref: GapInterpolation SceneDensify.cpp:2295-2785; the
-    gradient-guided re-propagation phase is handled by re-running
-    PatchMatch sweeps on the filled maps)."""
+    (ref: GapInterpolation phase 1, SceneDensify.cpp:2295-2785): similar-
+    depth fills for small gaps, texture-ratio-gated fills for large gaps
+    (when ``gra`` is given), with dir-space normal interpolation (when
+    ``normal`` (3, H, W) is given).  Returns (depth, conf) or
+    (depth, conf, normal)."""
     gap = cfg.ipol_gap_size
-    thr = cfg.depth_diff_threshold * 2.0
+    thr = cfg.depth_diff_threshold * 2.5  # ref: fDepthDiffThreshold*2.5
+    if normal is not None:
+        g = gra if gra is not None else jnp.zeros_like(depth)
+        nrm = jnp.moveaxis(normal, 0, -1)                   # (H, W, 3)
+        d, c, nrm = jax.vmap(_gap_fill_1d,
+                             in_axes=(0, 0, None, None, 0, 0))(
+            depth, conf, gap, thr, g, nrm)
+        d, c, nrm = jax.vmap(_gap_fill_1d,
+                             in_axes=(1, 1, None, None, 1, 1),
+                             out_axes=1)(d, c, gap, thr, g, nrm)
+        return d, c, jnp.moveaxis(nrm, -1, 0)
+    if gra is not None:
+        d, c = jax.vmap(_gap_fill_1d, in_axes=(0, 0, None, None, 0))(
+            depth, conf, gap, thr, gra)
+        d, c = jax.vmap(_gap_fill_1d, in_axes=(1, 1, None, None, 1),
+                        out_axes=1)(d, c, gap, thr, gra)
+        return d, c
     d, c = jax.vmap(_gap_fill_1d, in_axes=(0, 0, None, None))(
         depth, conf, gap, thr)
     d, c = jax.vmap(_gap_fill_1d, in_axes=(1, 1, None, None),
                     out_axes=1)(d, c, gap, thr)
     return d, c
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gap_repropagate(depth_fuse: jax.Array, normal_fuse: jax.Array,
+                    depth: jax.Array, normal: jax.Array, conf: jax.Array,
+                    gra: jax.Array, rays: jax.Array, cfg: DenseConfig):
+    """Gradient-guided re-propagation over remaining fusion holes
+    (ref: GapInterpolation phase 2, SceneDensify.cpp:2791-2983).
+
+    For every invalid fused pixel, harvest the HC cross-pattern
+    candidates (texture-adaptive radius: 5 where gra > 150, else
+    propagate_step) from the CURRENT depth map; where the local texture
+    and depth fields are smooth (mean ratios below 1%), fill with the
+    plane-propagated depth of the candidate closest to the local depth
+    mean and adopt its normal.  Vectorized: every hole evaluates its
+    candidate set in parallel instead of the reference's per-pixel loop.
+    """
+    h, w = depth_fuse.shape
+    step = max(cfg.propagate_step, 1)
+    radius = max(cfg.propagate_half_window, step)
+    dists = list(range(1, radius + 1, step))
+    offs = [(0, d) for d in dists] + [(0, -d) for d in dists] + \
+           [(d, 0) for d in dists] + [(-d, 0) for d in dists]
+    pad = radius
+    dp = jnp.pad(depth, pad)
+    np_ = jnp.pad(normal, ((0, 0), (pad, pad), (pad, pad)))
+    gp = jnp.pad(gra, pad, mode="edge")
+    cp = jnp.pad(conf, pad)
+    rp = jnp.pad(rays, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+
+    # texture-adaptive radius mask per candidate (ref: :2803-2809)
+    r_eff = jnp.where(gra > 150.0, jnp.minimum(5, radius),
+                      jnp.minimum(step, radius)).astype(jnp.float32)
+
+    def sl(a, dy, dx):
+        return a[..., pad + dy:pad + dy + h, pad + dx:pad + dx + w]
+
+    cnt = jnp.zeros((h, w), jnp.float32)
+    d_sum = jnp.zeros((h, w), jnp.float32)
+    tx_sum = jnp.zeros((h, w), jnp.float32)
+    d_min = jnp.full((h, w), jnp.inf)
+    d_max = jnp.full((h, w), -jnp.inf)
+    for dy, dx in offs:
+        ok = (sl(dp, dy, dx) > 0) & (max(abs(dy), abs(dx)) <= r_eff)
+        okf = ok.astype(jnp.float32)
+        d_c = sl(dp, dy, dx)
+        cnt += okf
+        d_sum += okf * d_c
+        tx_sum += okf * (sl(gp, dy, dx) - gra)
+        d_min = jnp.where(ok, jnp.minimum(d_min, d_c), d_min)
+        d_max = jnp.where(ok, jnp.maximum(d_max, d_c), d_max)
+    cnt_s = jnp.maximum(cnt, 1.0)
+    d_mean = d_sum / cnt_s
+    texture_ratio = jnp.abs(tx_sum / cnt_s) / jnp.maximum(gra, 1e-6)
+    depth_ratio = (d_max - d_min) / jnp.maximum(d_mean, 1e-9)
+    smooth = (texture_ratio < 0.01) & (depth_ratio < 0.01) & (cnt >= 2)
+
+    # chosen candidate: closest to the local depth mean (x1_demin analog);
+    # fill = its hypothesis plane propagated to this pixel
+    best_dev = jnp.full((h, w), jnp.inf)
+    best_d = jnp.zeros((h, w))
+    best_n = jnp.zeros((3, h, w))
+    best_c = jnp.zeros((h, w))
+    for dy, dx in offs:
+        ok = (sl(dp, dy, dx) > 0) & (max(abs(dy), abs(dx)) <= r_eff)
+        d_c = sl(dp, dy, dx)
+        n_c = sl(np_, dy, dx)
+        num = (n_c[0] * sl(rp, dy, dx)[0] + n_c[1] * sl(rp, dy, dx)[1]
+               + n_c[2] * sl(rp, dy, dx)[2]) * d_c
+        den = n_c[0] * rays[0] + n_c[1] * rays[1] + n_c[2] * rays[2]
+        d_prop = num / jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        dev = jnp.where(ok, jnp.abs(d_c - d_mean), jnp.inf)
+        better = dev < best_dev
+        best_dev = jnp.where(better, dev, best_dev)
+        best_d = jnp.where(better, d_prop, best_d)
+        best_n = jnp.where(better[None], n_c, best_n)
+        best_c = jnp.where(better, sl(cp, dy, dx), best_c)
+
+    fill = (depth_fuse <= 0) & smooth & (best_d > 0) & jnp.isfinite(
+        best_dev)
+    depth_out = jnp.where(fill, best_d, depth_fuse)
+    normal_out = jnp.where(fill[None], best_n, normal_fuse)
+    conf_out = jnp.where(fill, best_c, conf)
+    return depth_out, normal_out, conf_out
 
 
 @partial(jax.jit, static_argnames=("cfg", "with_colors"))
@@ -209,9 +344,15 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
         accW = w_i
         count = jnp.ones((h, w), jnp.int32)
         owned = jnp.zeros((h, w), bool)
+        v_nbr = nbr_idx.shape[1]
+        # per-neighbor agreement + supporting confidence, kept so the fused
+        # scene records FULL per-point view lists like the reference
+        # (FuseDepthMaps views/weights, SceneDensify.cpp:3265-3495)
+        agree_k = jnp.zeros((v_nbr, h, w), bool)
+        conf_k = jnp.zeros((v_nbr, h, w), jnp.float32)
 
         def body(k, carry):
-            accX, accN, accC, accW, count, owned = carry
+            accX, accN, accC, accW, count, owned, agree_k, conf_k = carry
             j = nbr_idx[i, k]
             cam_j = jax.tree.map(lambda x: x[j], cams)
             u_j, v_j, z_j = _project(cam_j, X_w)
@@ -242,25 +383,41 @@ def fuse_point_cloud(depths: jax.Array, normals: jax.Array,
             accW = accW + w_j
             count = count + agree.astype(jnp.int32)
             owned = owned | (agree & (priority[j] < priority[i]))
-            return accX, accN, accC, accW, count, owned
+            agree_k = jax.lax.dynamic_update_index_in_dim(
+                agree_k, agree, k, 0)
+            conf_k = jax.lax.dynamic_update_index_in_dim(
+                conf_k, jnp.where(agree, c_j, 0.0), k, 0)
+            return accX, accN, accC, accW, count, owned, agree_k, conf_k
 
-        accX, accN, accC, accW, count, owned = jax.lax.fori_loop(
+        (accX, accN, accC, accW, count, owned, agree_k,
+         conf_k) = jax.lax.fori_loop(
             0, nbr_idx.shape[1], body,
-            (accX, accN, accC, accW, count, owned))
+            (accX, accN, accC, accW, count, owned, agree_k, conf_k))
         keep = valid & (~owned) & (count >= cfg.min_views_fuse)
         inv_w = 1.0 / jnp.maximum(accW, 1e-12)
         pts = jnp.stack([accX[c] * inv_w for c in range(3)])
         nrm = jnp.stack(normalize3(tuple(accN[c] * inv_w for c in range(3))))
         col = jnp.stack([accC[c] * inv_w for c in range(3)])
-        return pts, nrm, col, accW, count, keep
+        return pts, nrm, col, accW, count, keep, agree_k, conf_k
 
-    pts, nrm, col, wts, count, keep = jax.lax.map(per_view, jnp.arange(n))
+    pts, nrm, col, wts, count, keep, agree_k, conf_k = jax.lax.map(
+        per_view, jnp.arange(n))
     return {"points": pts, "normals": nrm, "colors": col, "weights": wts,
-            "support": count, "keep": keep}
+            "support": count, "keep": keep,
+            "nbr_agree": agree_k, "nbr_conf": conf_k}
 
 
-def compact_point_cloud(fused: dict) -> dict:
-    """Host-side compaction of the fused per-pixel arrays into (M, ...)."""
+def compact_point_cloud(fused: dict, nbr_idx: Optional[np.ndarray] = None,
+                        confs: Optional[np.ndarray] = None) -> dict:
+    """Host-side compaction of the fused per-pixel arrays into (M, ...).
+
+    When ``nbr_idx`` (N, V) is given, also emits the FULL ragged per-point
+    view lists the reference's FuseDepthMaps records
+    (SceneDensify.cpp:3265-3495): ``view_counts`` (M,), ``view_ids`` (sum,)
+    with the owner view first then each agreeing neighbor, and
+    ``view_confs`` (sum,) — the owner's confidence (pass ``confs``
+    (N, H, W)) followed by the supporting views' sampled confidences.
+    """
     keep = np.asarray(fused["keep"]).reshape(-1)
     out = {}
     for name in ("points", "normals", "colors"):
@@ -269,6 +426,37 @@ def compact_point_cloud(fused: dict) -> dict:
         out[name] = arr[keep]
     for name in ("weights", "support"):
         out[name] = np.asarray(fused[name]).reshape(-1)[keep]
+    n = np.asarray(fused["keep"]).shape[0]
+    hw = keep.size // n
+    owner = np.repeat(np.arange(n, dtype=np.uint32), hw)[keep]
+    out["owner_view"] = owner
+    if nbr_idx is not None:
+        agree = np.asarray(fused["nbr_agree"])       # (N, V, H, W)
+        nconf = np.asarray(fused["nbr_conf"])        # (N, V, H, W)
+        v = agree.shape[1]
+        agree = np.moveaxis(agree, 1, -1).reshape(-1, v)[keep]   # (M, V)
+        nconf = np.moveaxis(nconf, 1, -1).reshape(-1, v)[keep]
+        nbr_of = np.asarray(nbr_idx, np.uint32)[owner]           # (M, V)
+        oconf = (np.asarray(confs).reshape(-1)[keep]
+                 if confs is not None else np.ones(len(owner), np.float32))
+        counts = 1 + agree.sum(1).astype(np.int32)               # (M,)
+        total = int(counts.sum())
+        ids = np.empty(total, np.uint32)
+        cfs = np.empty(total, np.float32)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        # owner first...
+        ids[offs[:-1]] = owner
+        cfs[offs[:-1]] = oconf
+        # ...then agreeing neighbors, in nbr_idx order: positions via
+        # per-row running rank of the agreement flags
+        rank = np.cumsum(agree, axis=1)                          # 1-based
+        rows, cols = np.nonzero(agree)
+        pos = offs[rows] + rank[rows, cols]
+        ids[pos] = nbr_of[rows, cols]
+        cfs[pos] = nconf[rows, cols]
+        out["view_counts"] = counts
+        out["view_ids"] = ids
+        out["view_confs"] = cfs
     return out
 
 

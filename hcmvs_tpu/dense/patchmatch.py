@@ -54,6 +54,11 @@ class ScoreContext:
     prior_depth: Optional[jax.Array]   # (H, W) or None (0 = no prior)
     nbr_depth: Optional[jax.Array]     # (V, H, W) or None
     nbr_normal: Optional[jax.Array]    # (V, 3, H, W) or None
+    inject_depth: Optional[jax.Array] = None   # (H, W) cross-scale
+    inject_normal: Optional[jax.Array] = None  # (3, H, W) hypothesis maps
+    vol: Optional[object] = None       # ops.volume.VolumeTables (V-batched)
+                                       # routing exact scoring through the
+                                       # sigma-sweep lane-gather kernel
 
 
 def propagation_offsets(cfg: DenseConfig) -> list:
@@ -80,7 +85,7 @@ def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
     """
     ncc, bad = S.score_photometric(ctx.geom, ctx.src_grays, ctx.stats,
                                    ctx.hw, depth, normal, ctx.rays,
-                                   offsets, cfg, phase)
+                                   offsets, cfg, phase, vol=ctx.vol)
     bonus = S.smoothness_bonus(cur_depth_map, cur_normal_map, ctx.rays,
                                depth, normal, cfg)
     # the bonus applies only to real matches: thRobust placeholders for
@@ -161,7 +166,7 @@ def _perturb(key: jax.Array, depth: jax.Array, normal: jax.Array,
 
 def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
                phase: int, parity: int, offsets: np.ndarray,
-               prop_offsets: list) -> PatchMatchState:
+               prop_offsets: list, inject: bool = False) -> PatchMatchState:
     """One checkerboard phase: pixels with (y+x)%2 == parity update.
 
     With cfg.sweep_mode == "jacobi", ``parity`` is ignored and EVERY pixel
@@ -256,7 +261,28 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
         valid = (d_r >= ctx.d_min * 0.8) & (d_r <= ctx.d_max * 1.2)
         return consider(best, d_r, n_r, valid), None
 
-    best, _ = jax.lax.scan(refine_step, best, (jnp.stack(subs), scales))
+    if cfg.random_iters:
+        best, _ = jax.lax.scan(refine_step, best,
+                               (jnp.stack(subs), scales))
+
+    if inject and ctx.inject_depth is not None:
+        # cross-scale hypothesis injection (ref: restore/libs/MVS/
+        # DepthMap.cpp:1527-1549): at the last inner iteration of the last
+        # external iteration, score the upsampled previous-stage
+        # (depth, normal) as a candidate and accept it with a 0.1 score
+        # bonus (conf > nconf - 0.1); the stored cost stays unbonused.
+        d_i = ctx.inject_depth
+        n_i = jnp.stack(face_camera_t(
+            (ctx.inject_normal[0], ctx.inject_normal[1],
+             ctx.inject_normal[2]),
+            (ctx.rays[0], ctx.rays[1], ctx.rays[2])))
+        ok = (d_i > 0) & (d_i >= ctx.d_min * 0.8) & (d_i <= ctx.d_max * 1.2)
+        c_i = jnp.where(ok, cost_of(d_i, n_i), jnp.inf)
+        bd, bn, bc = best
+        better = (c_i - 0.1) < bc
+        best = (jnp.where(better, d_i, bd),
+                jnp.where(better[None], n_i, bn),
+                jnp.where(better, c_i, bc))
 
     bd, bn, bc = best
     if cfg.sweep_mode == "jacobi":

@@ -54,6 +54,11 @@ class SceneTensors:
     flows: Optional[jax.Array] = None        # (N, 2, H, W) ref->best nbr
     prior_depth: Optional[jax.Array] = None  # (N, H, W)
     semantic: Optional[jax.Array] = None     # (N, H, W) int32 mask labels
+    inject_depth: Optional[jax.Array] = None   # (N, H, W) cross-scale maps
+    inject_normal: Optional[jax.Array] = None  # (N, 3, H, W) for injection
+    vols: Optional[object] = None      # ops.volume.VolumeTables, leading
+                                       # (N, V) dims — exact-scoring sweep
+                                       # tables, built once per stage
 
 
 @jax.tree_util.register_dataclass
@@ -86,21 +91,34 @@ def _per_view_context(scene: SceneTensors, i: jax.Array,
         flow=None if scene.flows is None else scene.flows[i],
         prior_depth=(None if scene.prior_depth is None
                      else scene.prior_depth[i]),
-        nbr_depth=nbr_depth, nbr_normal=nbr_normal)
+        nbr_depth=nbr_depth, nbr_normal=nbr_normal,
+        inject_depth=(None if scene.inject_depth is None
+                      else scene.inject_depth[i]),
+        inject_normal=(None if scene.inject_normal is None
+                       else scene.inject_normal[i]),
+        vol=(None if scene.vols is None
+             else jax.tree.map(lambda x: x[i], scene.vols)))
 
 
-@partial(jax.jit, static_argnames=("cfg", "phase", "n_iters", "use_nbr"))
+@partial(jax.jit, static_argnames=("cfg", "phase", "n_iters", "use_nbr",
+                                   "inject"))
 def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
-                 phase: int, n_iters: int, use_nbr: bool) -> SceneState:
+                 phase: int, n_iters: int, use_nbr: bool,
+                 inject: bool = False) -> SceneState:
     """``n_iters`` red/black sweeps on every view, batched.
 
     Neighbor depth/normal snapshots are taken once at entry (double
-    buffering at external-iteration granularity).
+    buffering at external-iteration granularity).  With ``inject`` (set by
+    the caller at the LAST external iteration when cross-scale maps are
+    attached), the last inner sweep scores the upsampled previous-stage
+    hypothesis with a 0.1 bonus (ref: restore/libs/MVS/
+    DepthMap.cpp:1527-1549).
     """
     offsets = S.patch_offsets(cfg)
     prop_offsets = propagation_offsets(cfg)
     # snapshot for cross-view reads: frozen for the whole call
     depth0, normal0 = state.depth, state.normal
+    inject = inject and scene.inject_depth is not None
 
     def per_view(i, st_leaves):
         st = PatchMatchState(depth=st_leaves[0], normal=st_leaves[1],
@@ -112,13 +130,21 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
             nbr_depth = nbr_normal = None
         ctx = _per_view_context(scene, i, nbr_depth, nbr_normal, cfg)
 
-        def one_iter(_, s):
-            s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets)
+        def one_iter(s, inj):
+            s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets,
+                           inject=inj)
             if cfg.sweep_mode != "jacobi":
-                s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets)
+                s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets,
+                               inject=inj)
             return s
 
-        st = jax.lax.fori_loop(0, n_iters, one_iter, st)
+        if inject:
+            st = jax.lax.fori_loop(0, n_iters - 1,
+                                   lambda _, s: one_iter(s, False), st)
+            st = one_iter(st, True)
+        else:
+            st = jax.lax.fori_loop(0, n_iters,
+                                   lambda _, s: one_iter(s, False), st)
         return st.depth, st.normal, st.cost, st.key
 
     idx = jnp.arange(state.depth.shape[0])
@@ -150,6 +176,31 @@ def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
                       keys=sts.key)
 
 
+@jax.jit
+def _build_scene_volumes(scene: SceneTensors):
+    from hcmvs_tpu.ops.volume import build_volume_tables
+
+    def per_view(i):
+        cam_i = jax.tree.map(lambda x: x[i], scene.cams)
+        cams_nbr = jax.tree.map(lambda x: x[scene.nbr_idx[i]], scene.cams)
+        geom = make_view_geometry(cam_i, cams_nbr)
+        return build_volume_tables(geom, scene.gray[scene.nbr_idx[i]],
+                                   scene.d_min[i], scene.d_max[i])
+
+    return jax.lax.map(per_view, jnp.arange(scene.gray.shape[0]))
+
+
+def attach_volumes(scene: SceneTensors, cfg: DenseConfig) -> SceneTensors:
+    """Build the exact-scoring sigma-volume tables (once per stage — the
+    tables depend only on images + geometry + depth range; see
+    ops/volume.py).  No-op unless cfg routes exact scoring through them.
+    """
+    from hcmvs_tpu.dense.score import use_volume_tables
+    if scene.vols is not None or not use_volume_tables(cfg):
+        return scene
+    return dataclasses.replace(scene, vols=_build_scene_volumes(scene))
+
+
 def phase_cfg(cfg: DenseConfig, phase: int,
               is_final: bool = False) -> DenseConfig:
     """Per-phase config: every external iteration except the FINAL one may
@@ -167,6 +218,7 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
                    verbose: bool = False) -> SceneState:
     """Full multi-view estimation with the HC-MVS external schedule."""
     state = init_scene_state(key, scene)
+    scene = attach_volumes(scene, cfg)
     n_ext = cfg.estimation_iters_external
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
@@ -177,9 +229,12 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
         if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
                 and scene.prior_depth is None:
             scene = compute_scene_priors(state, scene)
+        inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
+                  and scene.inject_depth is not None)
         state = scene_sweeps(state, scene,
                              phase_cfg(cfg, phase, it_ext == n_ext - 1),
-                             phase, cfg.estimation_iters, use_nbr)
+                             phase, cfg.estimation_iters, use_nbr,
+                             inject=inject)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, scene, cfg)
         if verbose:
@@ -221,21 +276,42 @@ def compute_scene_priors(state: SceneState,
 @partial(jax.jit, static_argnames=("cfg",))
 def optimize_maps(state: SceneState, scene: SceneTensors,
                   cfg: DenseConfig) -> SceneState:
-    """Mid-pipeline filter: cross-view consistency + gap interpolation
-    (ref: EVT_OPTIMIZEDEPTHMAP at it_ext in {1,2},
-    SceneDensify.cpp:3929-3958)."""
+    """Mid-pipeline filter: cross-view consistency + the two
+    GapInterpolation phases (ref: EVT_OPTIMIZEDEPTHMAP at it_ext in
+    {1,2}, SceneDensify.cpp:3929-3958):
+
+    1. row/col interpolation on the fused maps — similar-depth fills for
+       small gaps, texture-ratio-gated fills for large ones, with normal
+       interpolation (SceneDensify.cpp:2295-2785);
+    2. gradient-guided re-propagation over the remaining fused holes with
+       the cross candidate pattern (SceneDensify.cpp:2791-2983);
+    then the copy-back of valid fused pixels into the working maps
+    (:2988-2998).  Unfilled invalid pixels fall back to the pre-filter
+    hypothesis so PatchMatch can re-score them.
+    """
+    from hcmvs_tpu.dense.fusion import gap_repropagate
     conf = jnp.maximum(1.0 - state.cost, 0.01)
     filt, fused, support = cross_view_filter(
         state.depth, state.normal, conf, scene.cams, scene.nbr_idx,
         scene.nbr_valid, cfg)
-    # use the fused depth where supported, fill small gaps
-    depth = jnp.where(filt > 0, fused, 0.0)
-    depth, conf2 = jax.vmap(lambda d, c: gap_interpolate(d, c, cfg))(
-        depth, conf)
-    # re-validated pixels keep their old normals; unfilled invalid pixels
-    # fall back to the pre-filter hypothesis so PatchMatch can re-score it
-    depth = jnp.where(depth > 0, depth, state.depth)
-    return SceneState(depth=depth, normal=state.normal, cost=state.cost,
+    depth_fuse = jnp.where(filt > 0, fused, 0.0)
+    n, h, w = depth_fuse.shape
+
+    def per_view(i):
+        gra = sobel_magnitude(scene.gray[i])
+        d, c, nrm = gap_interpolate(depth_fuse[i], conf[i], cfg,
+                                    gra=gra, normal=state.normal[i])
+        cam_i = jax.tree.map(lambda x: x[i], scene.cams)
+        rays = pixel_rays(cam_i.K_inv, h, w)
+        d, nrm, c = gap_repropagate(d, nrm, state.depth[i],
+                                    state.normal[i], c, gra, rays, cfg)
+        return d, nrm, c
+
+    depth2, normal2, conf2 = jax.lax.map(per_view, jnp.arange(n))
+    # copy-back: valid fused pixels win; holes revert to the hypothesis
+    depth = jnp.where(depth2 > 0, depth2, state.depth)
+    normal = jnp.where((depth2 > 0)[:, None], normal2, state.normal)
+    return SceneState(depth=depth, normal=normal, cost=state.cost,
                       keys=state.keys)
 
 

@@ -354,11 +354,126 @@ def photometric_scores_warped(geom: ViewGeometry, src_grays: jax.Array,
     return jnp.where(bad, th_robust, score), bad
 
 
+def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
+                              hw: jax.Array, depth: jax.Array,
+                              normal: jax.Array, rays: jax.Array, offsets,
+                              cfg: DenseConfig
+                              ) -> Tuple[jax.Array, jax.Array]:
+    """Exact plane-homography scoring through sigma-volume lookups.
+
+    Same geometry as photometric_scores (ref: ScorePixelImage,
+    DepthMap.cpp:522-595) with the per-sample source fetch served from the
+    per-pixel plane-sweep tables (ops/volume.py) instead of per-index
+    bilinear gathers: the epipolar parameter
+
+        s(p, delta) = (n_ray0 + nk_x*dx + nk_y*dy) * inv_dp
+
+    is VIEW-INDEPENDENT, so one (S, H, W) index field feeds every view's
+    lane-gather kernel; sample validity is the analytic valid-sigma
+    interval (no gather).  The intensity is lerped between adjacent sigma
+    planes (~<=1px apart along the epipolar line) — the only deviation
+    from exact bilinear sampling, validated by the volume parity test and
+    the ridge golden gate.
+    """
+    from hcmvs_tpu.ops.volume import (_CHUNK, volume_lookup,
+                                      volume_lookup_xla)
+    h, w = depth.shape
+    pad = _pad_of(offsets)
+    th_robust = cfg.ncc_threshold_keep * 1.2
+    s_count = len(offsets)
+
+    nx, ny, nz = normal[0], normal[1], normal[2]
+    n_ray0 = nx * rays[0] + ny * rays[1] + nz * rays[2]
+    d_plane = n_ray0 * depth
+    inv_dp = 1.0 / jnp.where(jnp.abs(d_plane) < 1e-12, 1e-12, d_plane)
+    Ki = geom.K_inv_ref
+    nk_x = nx * Ki[0, 0] + ny * Ki[1, 0] + nz * Ki[2, 0]
+    nk_y = nx * Ki[0, 1] + ny * Ki[1, 1] + nz * Ki[2, 1]
+    s_c = n_ray0 * inv_dp
+    gx = nk_x * inv_dp
+    gy = nk_y * inv_dp
+
+    # forward-shifted s fields: row q of field k holds s(q - delta_k) —
+    # the lookup lands on the table row of the SAMPLE pixel q = p + delta
+    s_cp = jnp.pad(s_c, pad, mode="edge")
+    gxp = jnp.pad(gx, pad, mode="edge")
+    gyp = jnp.pad(gy, pad, mode="edge")
+    fwd = jnp.stack([
+        _shifted(s_cp, pad, -dy, -dx, h, w)
+        + _shifted(gxp, pad, -dy, -dx, h, w) * dx
+        + _shifted(gyp, pad, -dy, -dx, h, w) * dy
+        for dy, dx in offsets])                       # (S, H, W)
+
+    # the sigma grid is shared across views (built from d_min/d_max only)
+    f3 = (fwd - vol.sig0[0]) * vol.inv_dsig[0]
+    p_pad = vol.tab.shape[1]
+    f2 = jnp.pad(f3.reshape(s_count, h * w).T,
+                 ((0, p_pad - h * w), (0, 0)))        # (P_pad, S)
+
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+
+    ref_center = stats.ref_pad[pad:pad + h, pad:pad + w]
+    v_ds = _stacked_shifts(stats.ref_pad, pad, offsets, h, w)
+    offs = jnp.asarray(offsets, jnp.float32)
+
+    def per_view(tab_v, lo_v, hi_v):
+        out2 = (volume_lookup(tab_v, f2) if use_pallas
+                else volume_lookup_xla(tab_v, f2))
+        v3 = out2[:h * w].T.reshape(s_count, h, w)
+        ok3 = (fwd >= lo_v[None]) & (fwd <= hi_v[None])
+        # consumption shift: center p reads sample row p + delta (zero
+        # validity at borders where the sample pixel falls off-image)
+        v3p = jnp.pad(v3, ((0, 0), (pad, pad), (pad, pad)))
+        ok3p = jnp.pad(ok3.astype(jnp.float32),
+                       ((0, 0), (pad, pad), (pad, pad)))
+        v_cons = jnp.stack([_shifted(v3p[k], pad, dy, dx, h, w)
+                            for k, (dy, dx) in enumerate(offsets)])
+        ok_cons = jnp.stack([_shifted(ok3p[k], pad, dy, dx, h, w)
+                             for k, (dy, dx) in enumerate(offsets)])
+
+        def step(carry, inp):
+            num, s1, sq1, sw = carry
+            v_d, v1, ok, off = inp
+            wt = _weights_traced(ref_center, v_d, off[0], off[1], hw) * ok
+            return (num + wt * (v_d - stats.tm) * v1,
+                    s1 + wt * v1,
+                    sq1 + wt * v1 * v1,
+                    sw + wt), None
+
+        zeros = jnp.zeros((h, w), jnp.float32)
+        (num, s1, sq1, sw), _ = jax.lax.scan(
+            step, (zeros, zeros, zeros, zeros), (v_ds, v_cons, ok_cons,
+                                                 offs))
+        var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
+        denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1, 1e-16))
+        ncc = jnp.clip(num / denom, -1.0, 1.0)
+        score = 1.0 - ncc
+        # center visibility: the hypothesis itself must be inside the
+        # valid-sigma interval at p (the analog of the exact path's
+        # center warp in-bounds test)
+        oob = (s_c < lo_v) | (s_c > hi_v)
+        bad = (oob | (var1 <= 1e-12)
+               | (stats.norm_sq0 <= cfg.min_patch_variance ** 2))
+        return jnp.where(bad, th_robust, score), bad
+
+    return jax.vmap(per_view)(vol.tab, vol.sig_lo, vol.sig_hi)
+
+
+def use_volume_tables(cfg: DenseConfig) -> bool:
+    """Whether exact scoring routes through the sigma-volume tables."""
+    if cfg.score_mode not in ("exact", "hybrid"):
+        return False
+    if cfg.exact_backend == "volume":
+        return True
+    return (cfg.exact_backend == "auto" and cfg.use_pallas
+            and jax.default_backend() == "tpu")
+
+
 def score_photometric(geom: ViewGeometry, src_grays: jax.Array,
                       stats: RefPatchStats, hw: jax.Array, depth: jax.Array,
                       normal: jax.Array, rays: jax.Array, offsets,
-                      cfg: DenseConfig, phase: int = 1
-                      ) -> Tuple[jax.Array, jax.Array]:
+                      cfg: DenseConfig, phase: int = 1,
+                      vol=None) -> Tuple[jax.Array, jax.Array]:
     """Dispatch on cfg.score_mode.
 
     "hybrid" runs the cheap warped approximation during the photometric
@@ -368,6 +483,9 @@ def score_photometric(geom: ViewGeometry, src_grays: jax.Array,
     good enough to rank hypotheses)."""
     exact = (cfg.score_mode == "exact"
              or (cfg.score_mode == "hybrid" and phase >= 1))
+    if exact and vol is not None:
+        return photometric_scores_volume(geom, vol, stats, hw, depth,
+                                         normal, rays, offsets, cfg)
     fn = photometric_scores if exact else photometric_scores_warped
     return fn(geom, src_grays, stats, hw, depth, normal, rays, offsets, cfg)
 

@@ -39,19 +39,27 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
                      n_ray_samples: int = 8,
                      alpha_vis: float = 1.0,
                      lambda_smooth: float = 0.2,
-                     behind_scale: float = 0.01) -> SurfaceMesh:
+                     behind_scale: float = 0.01,
+                     obs_pt: np.ndarray = None,
+                     obs_cam: np.ndarray = None,
+                     obs_weight: np.ndarray = None) -> SurfaceMesh:
     """Reconstruct a surface from an oriented point cloud with visibility.
 
     Args:
       points: (N, 3) fused cloud.
       cam_centers: (C, 3) camera centers.
-      point_cam: (N,) index of the (owner) camera that saw each point;
-        use multiple observations by repeating points with different cams.
+      point_cam: (N,) index of the (owner) camera that saw each point.
       n_ray_samples: samples along each visibility ray.
       alpha_vis: vote weight per observation.
       lambda_smooth: facet smoothness capacity.
       behind_scale: how far behind the point the full-space vote lands,
         as a fraction of the camera-point distance.
+      obs_pt/obs_cam/obs_weight: optional FULL observation lists — one
+        entry per (point, supporting view) pair, with an optional
+        per-observation vote weight (the reference accumulates every
+        view's ray per point, weighted by Conf2Weight —
+        SceneReconstruct.cpp ray votes + SceneDensify.cpp:3265-3495).
+        When given they replace the owner-only ``point_cam`` rays.
 
     Returns a SurfaceMesh (vertices are the input points).
     """
@@ -72,23 +80,32 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
     d_nn, _ = tree.query(points, k=2)
     h = max(np.median(d_nn[:, 1]), 1e-9)
 
-    cams = cam_centers[point_cam]                       # (N, 3)
-    ray = points - cams
+    if obs_pt is None:
+        obs_pt = np.arange(n)
+        obs_cam = np.asarray(point_cam)
+    obs_pt = np.asarray(obs_pt)
+    m = len(obs_pt)
+    w_obs = (np.ones(m) if obs_weight is None
+             else np.asarray(obs_weight, np.float64))
+    pts_obs = points[obs_pt]                            # (M, 3)
+    cams = cam_centers[np.asarray(obs_cam)]             # (M, 3)
+    ray = pts_obs - cams
     dist = np.linalg.norm(ray, axis=1, keepdims=True)
     dir_ = ray / np.maximum(dist, 1e-12)
     # free-space samples: coarse fractions along the ray (empty space the
     # ray crosses before reaching the surface slab)
     t_frac = np.linspace(0.2, 0.9, max(n_ray_samples - 3, 1))
     coarse = (cams[None, :, :] * (1 - t_frac[:, None, None])
-              + points[None, :, :] * t_frac[:, None, None])
+              + pts_obs[None, :, :] * t_frac[:, None, None])
     free_tets = tri.find_simplex(coarse.reshape(-1, 3))
-    free_tets = free_tets.reshape(len(coarse), n)
+    free_tets = free_tets.reshape(len(coarse), m)
 
     s_cap = np.zeros(nt)
     t_cap = np.zeros(nt)
     for k in range(len(coarse)):
         valid = free_tets[k] >= 0
-        np.add.at(s_cap, free_tets[k][valid], alpha_vis / len(coarse))
+        np.add.at(s_cap, free_tets[k][valid],
+                  alpha_vis * w_obs[valid] / len(coarse))
         # de-duplicate per ray is skipped: repeated hits of the same tetra
         # along one ray just weight long traversals higher, which mimics
         # the reference's per-facet crossing accumulation
@@ -102,8 +119,8 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
     tet_pts = tri.simplices                              # (nt, 4)
     centroids = points[tet_pts].mean(1)                  # (nt, 3)
     eps = 0.05 * h
-    behind_q = points + dir_ * eps
-    front_q = points - dir_ * eps
+    behind_q = pts_obs + dir_ * eps                      # (M, 3) per-obs
+    front_q = pts_obs - dir_ * eps
     inc_tet = np.repeat(np.arange(nt), 4)
     inc_pt = tet_pts.reshape(-1)
     # barycentric test: q inside tetra iff all coords of the affine solve
@@ -116,13 +133,29 @@ def reconstruct_mesh(points: np.ndarray, cam_centers: np.ndarray,
                       np.eye(3)[None])
     Minv = np.linalg.inv(M_safe)
 
-    def _vote(q_pts, cap_arr):
-        rhs = q_pts[inc_pt] - v0
-        bary = np.einsum("nij,nj->ni", Minv, rhs)
-        b0 = 1.0 - bary.sum(1)
-        tol = -1e-9
-        inside = (Minv_ok & (bary >= tol).all(1) & (b0 >= tol))
-        np.add.at(cap_arr, inc_tet[inside], alpha_vis)
+    # expand incidences per observation: each (tet, vertex-point) pair
+    # votes once per observation of that point (join by point id)
+    order = np.argsort(obs_pt, kind="stable")
+    counts = np.bincount(obs_pt, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rep = counts[inc_pt]                                 # obs per incidence
+    inc_exp = np.repeat(np.arange(len(inc_pt)), rep)
+    grp_off = np.concatenate([[0], np.cumsum(rep)])[:-1]
+    pos = np.arange(rep.sum()) - np.repeat(grp_off, rep)
+    obs_rows = order[starts[inc_pt[inc_exp]] + pos]      # (E,)
+
+    def _vote(q_pts, cap_arr, chunk=2_000_000):
+        for lo in range(0, len(inc_exp), chunk):
+            sl = slice(lo, lo + chunk)
+            ie = inc_exp[sl]
+            orow = obs_rows[sl]
+            rhs = q_pts[orow] - v0[ie]
+            bary = np.einsum("nij,nj->ni", Minv[ie], rhs)
+            b0 = 1.0 - bary.sum(1)
+            tol = -1e-9
+            inside = (Minv_ok[ie] & (bary >= tol).all(1) & (b0 >= tol))
+            np.add.at(cap_arr, inc_tet[ie[inside]],
+                      alpha_vis * w_obs[orow[inside]])
 
     _vote(behind_q, t_cap)
     _vote(front_q, s_cap)

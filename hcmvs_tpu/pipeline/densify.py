@@ -192,8 +192,9 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
                                  priority, cfg,
                                  colors=jnp.asarray(np.stack(colors)),
                                  with_colors=cfg.estimate_colors > 0)
-        cloud = compact_point_cloud(fused)
-    owner0 = np.nonzero(np.asarray(fused["keep"]).reshape(n, -1))[0]
+        cloud = compact_point_cloud(fused, nbr_idx=tensors.nbr_idx,
+                                    confs=conf_np)
+    owner0 = cloud["owner_view"]
     if filter_point_cloud is not None and len(cloud["points"]):
         from hcmvs_tpu.dense.point_filter import filter_point_cloud as fpc
         counts = np.ones(len(cloud["points"]), np.int32)
@@ -201,6 +202,13 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
             keep = fpc(cloud["points"], counts, owner0.astype(np.uint32),
                        tensors.cams, grays[0].shape,
                        th_remove=filter_point_cloud)
+        # ragged per-point view lists filter through their offsets
+        offs = np.concatenate([[0], np.cumsum(cloud["view_counts"])])
+        ragged_keep = np.zeros(offs[-1], bool)
+        for p in np.nonzero(keep)[0]:
+            ragged_keep[offs[p]:offs[p + 1]] = True
+        cloud["view_ids"] = cloud["view_ids"][ragged_keep]
+        cloud["view_confs"] = cloud["view_confs"][ragged_keep]
         cloud = {k: (v[keep] if isinstance(v, np.ndarray)
                      and len(v) == len(keep) else v)
                  for k, v in cloud.items()}
@@ -209,19 +217,19 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     write_ply_points(os.path.join(out_dir, "scene_dense.ply"),
                      cloud["points"], cloud["normals"], colors=col_u8)
 
-    # dense scene .mvs (points + per-point views)
+    # dense scene .mvs with FULL per-point view lists: owner view first,
+    # then every agreeing neighbor with its sampled confidence (ref:
+    # FuseDepthMaps per-point views/weights, SceneDensify.cpp:3265-3495)
     dense_scene = SceneMVS(platforms=scene.platforms, images=scene.images,
                            points=cloud["points"].astype(np.float32),
-                           point_view_counts=np.minimum(
-                               cloud["support"], 255).astype(np.int32),
-                           point_view_ids=np.zeros(0, np.uint32),
-                           point_view_confs=np.zeros(0, np.float32),
+                           point_view_counts=cloud["view_counts"].astype(
+                               np.int32),
+                           point_view_ids=cloud["view_ids"].astype(
+                               np.uint32),
+                           point_view_confs=cloud["view_confs"].astype(
+                               np.float32),
                            point_normals=cloud["normals"].astype(
                                np.float32))
-    # view lists: emit owner view only (full lists tracked as follow-up)
-    dense_scene.point_view_counts = np.ones(len(cloud["points"]), np.int32)
-    dense_scene.point_view_ids = owner0.astype(np.uint32)
-    dense_scene.point_view_confs = np.ones(len(cloud["points"]), np.float32)
     write_mvs(os.path.join(out_dir, "scene_dense.mvs"), dense_scene)
 
     return {"n_views": n, "wall_s": wall,

@@ -135,9 +135,20 @@ def run_hierarchy(tensors_per_level: Dict[int, SceneTensors],
                     cost=st0.cost, keys=st0.keys)
                 state = _run_stage(state, tensors, cfg, verbose)
             else:
-                # cross-scale prior: keep triangulate/seed init, feed the
-                # previous level's depth through the prior channel
-                tensors = dataclasses.replace(tensors, prior_depth=d_up)
+                # variant B (restore): keep triangulate/seed init; the
+                # upsampled previous-level maps enter through BOTH channels
+                # the reference uses — the soft prior term (resize_ maps,
+                # restore/SceneDensify.cpp:500-533) and the scored
+                # hypothesis injection at the final iteration with a 0.1
+                # bonus (nresize_ maps, restore/DepthMap.cpp:1527-1549) —
+                # each gated by its config knob.
+                updates = {}
+                if cfg.cross_scale_prior:
+                    updates["prior_depth"] = d_up
+                if cfg.cross_scale_inject:
+                    updates["inject_depth"] = d_up
+                    updates["inject_normal"] = n_up
+                tensors = dataclasses.replace(tensors, **updates)
                 state = init_scene_state(sub, tensors)
                 state = _run_stage(state, tensors, cfg, verbose)
         else:
@@ -160,13 +171,33 @@ def run_hierarchy(tensors_per_level: Dict[int, SceneTensors],
 
 def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
                verbose: bool) -> SceneState:
-    from hcmvs_tpu.dense.scene_driver import optimize_maps, phase_cfg
+    """One stage's external-iteration schedule — the per-stage twin of
+    dense.scene_driver.estimate_scene, including the semantic/superpixel
+    prior pass at iteration n-2 (ref: GenerateDepthPrior at
+    it_external == n-2, SceneDensify.cpp:983-1031) and the cross-scale
+    hypothesis injection at the final iteration (restore variant)."""
+    from hcmvs_tpu.dense.scene_driver import (attach_volumes,
+                                              compute_scene_priors,
+                                              optimize_maps, phase_cfg)
+    tensors = attach_volumes(tensors, cfg)
     n_ext = cfg.estimation_iters_external
+    priors_done = False
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
+        if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
+                and not priors_done:
+            # superpixel/semantic RANSAC planes replace the (cross-scale)
+            # bootstrap prior for the final iterations, mirroring the
+            # reference's GenerateFinalPrior overwrite of depthMapPrior
+            tensors = compute_scene_priors(
+                state, dataclasses.replace(tensors, prior_depth=None))
+            priors_done = True
+        inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
+                  and tensors.inject_depth is not None)
         state = scene_sweeps(state, tensors,
                              phase_cfg(cfg, phase, it_ext == n_ext - 1),
-                             phase, cfg.estimation_iters, phase >= 1)
+                             phase, cfg.estimation_iters, phase >= 1,
+                             inject=inject)
         if cfg.optimize and it_ext in (1, 2):
             state = optimize_maps(state, tensors, cfg)
     return state
@@ -209,8 +240,21 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
                 raw[0].shape[1], raw[0].shape[0], lvl,
                 base_cfg.max_resolution, base_cfg.min_resolution)
             grays = [resize_image(g, scale) for g in raw]
+            flows = None
+            if base_cfg.use_optical_flow:
+                # per-level ref->best-neighbor flow fields (ref: InitViews
+                # Farneback flow, SceneDensify.cpp:404-508; the reference's
+                # always-on --n-opticalflow 1 applies at every stage)
+                from hcmvs_tpu.dense.flow import scene_flows
+                from hcmvs_tpu.dense.view_selection import (pair_scores,
+                                                            select_neighbors)
+                centers = np.stack([scene.pose_of(i)[1] for i in range(n)])
+                score = pair_scores(scene.points, scene.point_view_counts,
+                                    scene.point_view_ids, centers, n)
+                nbr1, _ = select_neighbors(score, 1)
+                flows = scene_flows(np.stack(grays), nbr1)
             tensors_per_level[lvl] = build_scene_tensors(
-                scene, grays, base_cfg)
+                scene, grays, base_cfg, flows)
 
     with stage_timer("hierarchy.schedule", log=verbose):
         state = run_hierarchy(

@@ -61,8 +61,20 @@ def cmd_reconstruct(args) -> None:
             owner[p] = scene.point_view_ids[offs[p]]
     centers = np.stack([scene.pose_of(i)[1]
                         for i in range(len(scene.images))])
+    # full per-point visibility: one ray per (point, supporting view),
+    # conf-weighted — the reference accumulates every view's ray
+    # (SceneReconstruct.cpp ray votes over PointCloud.pointViews)
+    obs_pt = obs_cam = obs_w = None
+    if len(scene.point_view_ids) == offs[-1] and offs[-1] > len(pts):
+        obs_pt = np.repeat(np.arange(len(pts)),
+                           np.asarray(scene.point_view_counts))
+        obs_cam = scene.point_view_ids.astype(np.int64)
+        if len(scene.point_view_confs) == offs[-1]:
+            obs_w = np.maximum(scene.point_view_confs, 0.1)
     with stage_timer("reconstruct.graph_cut", log=True):
-        mesh = reconstruct_mesh(pts.astype(np.float64), centers, owner)
+        mesh = reconstruct_mesh(pts.astype(np.float64), centers, owner,
+                                obs_pt=obs_pt, obs_cam=obs_cam,
+                                obs_weight=obs_w)
     with stage_timer("reconstruct.clean", log=True):
         v, f = clean_mesh(mesh.vertices, mesh.faces,
                           decimate=args.decimate,

@@ -306,3 +306,54 @@ def test_occlusion_scene_quality():
         acc = ((rel < 0.02) & valid).sum() / max(valid.sum(), 1)
         assert acc > 0.75, (i, acc)
         assert valid.mean() > 0.9
+
+
+def test_gap_repropagate_fills_smooth_holes_only():
+    """Phase-2 re-propagation (ref: GapInterpolation
+    SceneDensify.cpp:2791-2983): holes over a smooth textured surface
+    fill with accurate plane-propagated depths; holes sitting on a depth
+    discontinuity (depth_ratio gate) stay unfilled."""
+    from hcmvs_tpu.core.config import DenseConfig
+    from hcmvs_tpu.dense.fusion import gap_repropagate
+    from hcmvs_tpu.dense.types import pixel_rays
+    from hcmvs_tpu.utils.synth import make_plane_scene
+    sc = make_plane_scene(np.random.default_rng(5), h=48, w=64, n_views=1)
+    h, w = 48, 64
+    gt = jnp.asarray(sc.depth_gt)
+    normal = jnp.broadcast_to(
+        jnp.asarray(sc.normal_gt, jnp.float32)[:, None, None], (3, h, w))
+    rays = pixel_rays(jnp.linalg.inv(jnp.asarray(sc.cameras[0].K)), h, w)
+    # working maps: GT with a step discontinuity on the right half
+    depth = jnp.where(jnp.arange(w)[None, :] >= 48, gt * 1.5, gt)
+    # fused maps: holes punched in the smooth region and at the step
+    holes = np.zeros((h, w), bool)
+    holes[20:24, 10:14] = True        # smooth region
+    holes[20:24, 46:50] = True        # straddles the discontinuity
+    depth_fuse = jnp.where(jnp.asarray(holes), 0.0, depth)
+    conf = jnp.full((h, w), 0.7)
+    gra = jnp.full((h, w), 50.0)      # weak texture everywhere
+    cfg = DenseConfig(propagate_half_window=5, propagate_step=2)
+    d_out, n_out, c_out = gap_repropagate(
+        depth_fuse, normal * jnp.asarray(holes == 0, jnp.float32)[None],
+        depth, normal, conf, gra, rays, cfg)
+    d_out = np.asarray(d_out)
+    smooth_holes = np.zeros((h, w), bool)
+    smooth_holes[20:24, 10:14] = True
+    filled = d_out[smooth_holes]
+    gt_np = np.asarray(gt)[smooth_holes]
+    assert (filled > 0).mean() > 0.9, (filled > 0).mean()
+    ok = filled > 0
+    rel = np.abs(filled[ok] - gt_np[ok]) / gt_np[ok]
+    assert rel.max() < 0.02, rel.max()
+    # the hole pixel whose candidates straddle the discontinuity (col 48:
+    # left neighbor on the gt side, right on the 1.5x side) must stay
+    # unfilled (the depth_ratio gate); hole pixels wholly on one side may
+    # fill, and must match THEIR side's depth
+    assert (d_out[20:24, 48] == 0).all(), d_out[20:24, 48]
+    gt_np_full = np.asarray(gt)
+    for col, scale in ((46, 1.0), (47, 1.0), (49, 1.5)):
+        vals = d_out[20:24, col]
+        ok = vals > 0
+        if ok.any():
+            tgt = gt_np_full[20:24, col][ok] * scale
+            assert (np.abs(vals[ok] - tgt) / tgt).max() < 0.02, (col, vals)
