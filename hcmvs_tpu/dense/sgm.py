@@ -19,7 +19,7 @@ SceneDensify.cpp:3899-3911):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,28 +180,107 @@ def sgm_match(geom: ViewGeometry, ref_gray: jax.Array, src_gray: jax.Array,
     return depth, win_cost
 
 
-def sgm_scene(scene, cfg=None, n_depths: int = 64):
-    """SGM depth maps for every view against its best neighbor, with
-    depth-gradient normals — the DensifyPointCloud --fusion-mode -1/-2
-    path (ref: SceneDensify.cpp:3899-3911 sgm.Match per image +
-    SemiGlobalMatcher.cpp:739 Fuse; the cross-view consistency check that
-    the reference's Fuse performs is dense/fusion.cross_view_filter,
-    applied by the caller exactly as for PatchMatch maps).
+def sgm_fuse_pairs(depths: jax.Array, costs: jax.Array,
+                   max_cost: float = 18.0,
+                   depth_thr: float = 0.02,
+                   dsig: Optional[jax.Array] = None
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Fuse one view's per-neighbor SGM maps (K, H, W) into a single map
+    (ref: SemiGlobalMatcher::Fuse, SemiGlobalMatcher.cpp:739 — each pair
+    is matched independently, then per-pixel estimates that agree are
+    cost-weight-averaged; pairs with no supporting agreement are dropped,
+    which is the redundancy the method depends on).
 
-    ``scene`` is a dense.scene_driver.SceneTensors.  Returns
+    ``dsig``: the swept inverse-depth grid step — the agreement
+    threshold floors at ~4 quantization steps (per-pair WTA estimates scatter by 2-3 steps
+    on weakly textured patches even after sub-pixel refinement) (depth step = d^2 * dsig),
+    or per-pair estimates get rejected by discretization alone.
+
+    Returns (depth (H, W), fused per-path-average cost (H, W)).
+    """
+    k = depths.shape[0]
+    valid = (depths > 0) & (costs < max_cost)
+    wts = jnp.where(valid, 1.0 / jnp.maximum(costs, 0.5), 0.0)
+    if k == 1:
+        return jnp.where(valid[0], depths[0], 0.0), costs[0]
+
+    def thr(d):
+        t = depth_thr * d
+        if dsig is not None:
+            t = jnp.maximum(t, 4.0 * d * d * dsig)
+        return t
+
+    # support: for each pair's estimate, how many other pairs agree
+    agree = jnp.zeros_like(depths)
+    for a in range(k):
+        for b in range(k):
+            if a == b:
+                continue
+            ok = (valid[a] & valid[b]
+                  & (jnp.abs(depths[a] - depths[b]) < thr(depths[a])))
+            agree = agree.at[a].add(ok.astype(jnp.float32))
+    best = jnp.argmax(jnp.where(valid, agree, -1.0)
+                      - costs * 1e-3, axis=0)             # (H, W)
+    d_best = jnp.take_along_axis(depths, best[None], 0)[0]
+    v_best = jnp.take_along_axis(valid, best[None], 0)[0]
+    sup_best = jnp.take_along_axis(agree, best[None], 0)[0]
+    # average every agreeing pair around the winner
+    close = valid & (jnp.abs(depths - d_best[None])
+                     < thr(jnp.maximum(d_best, 1e-9))[None])
+    w_c = jnp.where(close, wts, 0.0)
+    d_fused = (jnp.sum(w_c * depths, 0)
+               / jnp.maximum(jnp.sum(w_c, 0), 1e-12))
+    c_fused = (jnp.sum(w_c * costs, 0)
+               / jnp.maximum(jnp.sum(w_c, 0), 1e-12))
+    # keep single-pair estimates only when no cross-check exists at all
+    # (k == 1 handled above); with >= 2 pairs require >= 1 agreement
+    keep = v_best & (sup_best >= 1.0)
+    return jnp.where(keep, d_fused, 0.0), jnp.where(keep, c_fused,
+                                                    2.0 * max_cost)
+
+
+def sgm_scene(scene, cfg=None, n_depths: int = 64, n_pairs: int = 0):
+    """SGM depth maps for every view, matched against each of its top
+    neighbors and fused — the DensifyPointCloud --fusion-mode -1/-2 path
+    (ref: SceneDensify.cpp:3899-3911 sgm.Match per image pair +
+    SemiGlobalMatcher.cpp:530 Match / :739 Fuse).  The per-pair fusion is
+    sgm_fuse_pairs; the remaining cross-VIEW consistency check is
+    dense/fusion.cross_view_filter, applied by the caller exactly as for
+    PatchMatch maps.
+
+    ``scene`` is a dense.scene_driver.SceneTensors; ``n_pairs`` limits
+    how many neighbors each view matches (0 = all in nbr_idx).  Returns
     (depth (N, H, W), normal (N, 3, H, W), conf (N, H, W)).
     """
     from hcmvs_tpu.dense.types import make_view_geometry, pixel_rays
     from hcmvs_tpu.ops.gradients import normals_from_depth
     n, h, w = scene.gray.shape
+    v_all = scene.nbr_idx.shape[1]
+    k = v_all if n_pairs <= 0 else min(n_pairs, v_all)
 
     def per_view(i):
         cam_i = jax.tree.map(lambda x: x[i], scene.cams)
         cams_nbr = jax.tree.map(lambda x: x[scene.nbr_idx[i]], scene.cams)
         geom = make_view_geometry(cam_i, cams_nbr)
-        depth, cost = sgm_match(geom, scene.gray[i],
-                                scene.gray[scene.nbr_idx[i][0]],
-                                scene.d_min[i], scene.d_max[i], n_depths)
+
+        def per_pair(j):
+            import dataclasses as _dc
+            sl = lambda x: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                x, j, 0, keepdims=True)
+            geom_j = _dc.replace(
+                geom, A=sl(geom.A), wv=sl(geom.wv), R_rel=sl(geom.R_rel),
+                t_rel=sl(geom.t_rel), K_src=sl(geom.K_src),
+                K_inv_src=sl(geom.K_inv_src), F=sl(geom.F))
+            d, c = sgm_match(geom_j, scene.gray[i],
+                             scene.gray[scene.nbr_idx[i][j]],
+                             scene.d_min[i], scene.d_max[i], n_depths)
+            valid = scene.nbr_valid[i, j]
+            return (jnp.where(valid, d, 0.0),
+                    jnp.where(valid, c, 1e9))
+
+        pair_d, pair_c = jax.lax.map(per_pair, jnp.arange(k))
+        dsig = (1.0 / scene.d_min[i] - 1.0 / scene.d_max[i]) / n_depths
+        depth, cost = sgm_fuse_pairs(pair_d, pair_c, dsig=dsig)
         rays = pixel_rays(geom.K_inv_ref, h, w)
         normal = normals_from_depth(depth, rays)
         conf = jnp.where(depth > 0,

@@ -98,3 +98,47 @@ def test_sgm_scene_driver():
     rel = np.abs(d0[inner] - sc.depth_gt[inner]) / sc.depth_gt[inner]
     assert valid.mean() > 0.5
     assert np.median(rel[valid]) < 0.05
+
+
+def test_sgm_multi_pair_beats_single_pair():
+    """Multi-pair matching + fusion (ref: SemiGlobalMatcher.cpp:530 Match
+    per pair, :739 Fuse) must beat the single-best-neighbor map on the
+    non-planar ridge scene — the redundancy the method depends on."""
+    import jax
+    import jax.numpy as jnp
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.dense.scene_driver import SceneTensors
+    from hcmvs_tpu.dense.sgm import sgm_scene
+    from hcmvs_tpu.utils.synth import make_ridge_scene
+    sc = make_ridge_scene(np.random.default_rng(2), h=64, w=96, n_views=4,
+                          spacing=0.25)
+    n, v = 4, 3
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    nbr = np.array([[j for j in range(n) if j != i][:v]
+                    for i in range(n)], np.int32)
+    scene = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]),
+        cams=cams, nbr_idx=jnp.asarray(nbr),
+        nbr_valid=jnp.ones((n, v), bool),
+        d_min=jnp.full((n,), float(sc.depth_gt.min()) * 0.7,
+                       jnp.float32),
+        d_max=jnp.full((n,), float(sc.depth_gt.max()) * 1.3,
+                       jnp.float32))
+
+    def err(n_pairs):
+        depth, _, _ = sgm_scene(scene, n_depths=64, n_pairs=n_pairs)
+        d0 = np.asarray(depth[0])
+        inner = np.s_[8:-8, 8:-8]
+        gt = sc.depth_gt[inner]
+        d0 = d0[inner]
+        val = d0 > 0
+        rel = np.abs(d0 - gt) / gt
+        return np.median(rel[val]), val.mean()
+
+    e1, v1 = err(1)
+    e3, v3 = err(3)
+    # fused multi-pair: equal-or-better accuracy
+    assert e3 <= e1 * 1.05, (e3, e1)
+    assert v3 > 0.4, v3
