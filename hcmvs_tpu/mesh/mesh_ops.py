@@ -352,3 +352,65 @@ def rasterize_depth(vertices: np.ndarray, faces: np.ndarray,
         np.minimum.at(cur, flat, dv)
     depth[~np.isfinite(depth)] = 0.0
     return depth.astype(np.float32)
+
+
+def rasterize_attributes(vertices: np.ndarray, faces: np.ndarray,
+                         K: np.ndarray, R: np.ndarray, C: np.ndarray,
+                         h: int, w: int):
+    """Z-buffer rasterization with per-pixel face ids + barycentrics
+    (ref: TRasterMesh, Mesh.cpp:3532-3586 — the projection/visibility
+    maps the CUDA refine kernels consume, SceneRefineCUDA.cpp:62-1944).
+
+    Returns (depth (H, W) f32, face_id (H, W) i32 with -1 = empty,
+    bary (H, W, 3) f32).  Two scanline passes: depth z-buffer, then
+    winner attribution (d == z-buffer within eps).
+    """
+    depth = rasterize_depth(vertices, faces, K, R, C, h, w)
+    face_id = np.full((h, w), -1, np.int32)
+    bary = np.zeros((h, w, 3), np.float32)
+    Xc = (vertices - C) @ R.T
+    z = Xc[:, 2]
+    uvw = Xc @ K.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        uv = uvw[:, :2] / uvw[:, 2:3]
+    for fi, f in enumerate(faces):
+        if (z[f] <= 0).any():
+            continue
+        tri = uv[f]
+        lo = np.floor(tri.min(0)).astype(int)
+        hi = np.ceil(tri.max(0)).astype(int) + 1
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, [w, h])
+        if (hi <= lo).any():
+            continue
+        xs, ys = np.meshgrid(np.arange(lo[0], hi[0]),
+                             np.arange(lo[1], hi[1]))
+        p = np.stack([xs.ravel(), ys.ravel()], 1).astype(np.float64)
+        t = tri[1:] - tri[0]
+        det = t[0, 0] * t[1, 1] - t[0, 1] * t[1, 0]
+        if abs(det) < 1e-12:
+            continue
+        rel = p - tri[0]
+        l1 = (rel[:, 0] * t[1, 1] - rel[:, 1] * t[1, 0]) / det
+        l2 = (-rel[:, 0] * t[0, 1] + rel[:, 1] * t[0, 0]) / det
+        l0 = 1.0 - l1 - l2
+        inside = (l0 >= -1e-9) & (l1 >= -1e-9) & (l2 >= -1e-9)
+        if not inside.any():
+            continue
+        iz = l0 / z[f[0]] + l1 / z[f[1]] + l2 / z[f[2]]
+        d = 1.0 / np.maximum(iz, 1e-12)
+        px = p[inside].astype(int)
+        dv = d[inside]
+        win = np.abs(depth[px[:, 1], px[:, 0]] - dv) \
+            <= 1e-4 * np.maximum(dv, 1e-9)
+        if not win.any():
+            continue
+        px = px[win]
+        face_id[px[:, 1], px[:, 0]] = fi
+        # perspective-correct barycentrics (weights on 1/z interpolation)
+        li = np.stack([l0[inside][win] / z[f[0]],
+                       l1[inside][win] / z[f[1]],
+                       l2[inside][win] / z[f[2]]], 1)
+        li = li / li.sum(1, keepdims=True)
+        bary[px[:, 1], px[:, 0]] = li
+    return depth, face_id, bary

@@ -25,6 +25,8 @@ stages here):
 from __future__ import annotations
 
 from functools import partial
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,18 +140,132 @@ def refine_step(vertices: jax.Array, normals: jax.Array, edges: jax.Array,
     return jax.lax.fori_loop(0, n_iters, body, vertices)
 
 
+def _box_sum(a: jax.Array, r: int = 2) -> jax.Array:
+    """(H, W) separable (2r+1)^2 box sum via shifted adds."""
+    out = a
+    for axis in (0, 1):
+        acc = out
+        for d in range(1, r + 1):
+            acc = acc + jnp.roll(out, d, axis) + jnp.roll(out, -d, axis)
+        out = acc
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_pairs",))
+def raster_refine_grad(V: jax.Array, faces: jax.Array,
+                       face_ids: jax.Array, barys: jax.Array,
+                       raster_depth: jax.Array, images: jax.Array,
+                       gx_all: jax.Array, gy_all: jax.Array,
+                       Ks: jax.Array, Rs: jax.Array, Cs: jax.Array,
+                       pair_a: jax.Array, pair_b: jax.Array,
+                       n_pairs: int, occl_tol: float = 0.01
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel rasterized photometric ZNCC gradient, scattered onto
+    vertices via barycentrics (ref: the SceneRefineCUDA.cpp:62-1944
+    kernel list — image warp, windowed mean/var/cov/ZNCC, ZNCC gradient,
+    photometric vertex gradient scatter).
+
+    For each pair (A, B): every A-pixel covered by a face carries the
+    point X(p) = sum_k bary_k V[face_k]; warping B onto A through X gives
+    W; the per-pixel d(ZNCC)/d(along-normal displacement) follows the
+    chain through B's image gradient and projection Jacobian, and is
+    scatter-added to the face's vertices with barycentric weights.
+    Returns (grad (Nv,), weight (Nv,)) — positive gradient = move along
+    +normal improves photo-consistency.
+    """
+    n_views, h, w = images.shape
+    nv = V.shape[0]
+    npx = 25.0
+
+    grad = jnp.zeros((nv,))
+    wsum = jnp.zeros((nv,))
+    for p in range(n_pairs):
+        ia, ib = pair_a[p], pair_b[p]
+        fid = face_ids[ia]                               # (H, W)
+        covered = fid >= 0
+        fid0 = jnp.maximum(fid, 0)
+        tri = faces[fid0]                                # (H, W, 3)
+        b3 = barys[ia]                                   # (H, W, 3)
+        # current-surface point per pixel (tracks V as it moves)
+        Xp = (V[tri[..., 0]] * b3[..., 0:1]
+              + V[tri[..., 1]] * b3[..., 1:2]
+              + V[tri[..., 2]] * b3[..., 2:3])           # (H, W, 3)
+        # face normal from current V
+        e1 = V[tri[..., 1]] - V[tri[..., 0]]
+        e2 = V[tri[..., 2]] - V[tri[..., 0]]
+        nrm = jnp.cross(e1, e2)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        # project into B
+        K, R, C = Ks[ib], Rs[ib], Cs[ib]
+        Xc = jnp.einsum("ij,hwj->hwi", R, Xp - C)
+        zb = Xc[..., 2]
+        inv_zb = 1.0 / jnp.where(jnp.abs(zb) < 1e-9, 1e-9, zb)
+        ub = (K[0, 0] * Xc[..., 0] + K[0, 2] * Xc[..., 2]) * inv_zb
+        vb = (K[1, 1] * Xc[..., 1] + K[1, 2] * Xc[..., 2]) * inv_zb
+        Wimg, okb = bilinear_sample_xy(images[ib], ub, vb)
+        # occlusion in B: point must win B's z-buffer
+        zraster, okz = bilinear_sample_xy(raster_depth[ib], ub, vb)
+        vis = (covered & okb & (zb > 0) & okz
+               & (jnp.abs(zraster - zb) < occl_tol * zb + 1e-6))
+        visf = vis.astype(jnp.float32)
+
+        # windowed ZNCC between A's image and the warp (5x5 box)
+        Ia = images[ia]
+        sA = _box_sum(Ia * visf) / jnp.maximum(_box_sum(visf), 1.0)
+        sW = _box_sum(Wimg * visf) / jnp.maximum(_box_sum(visf), 1.0)
+        Ac = (Ia - sA) * visf
+        Wc = (Wimg - sW) * visf
+        var_a = _box_sum(Ac * Ac) / npx
+        var_w = _box_sum(Wc * Wc) / npx
+        sig_a = jnp.sqrt(jnp.maximum(var_a, 1e-8))
+        sig_w = jnp.sqrt(jnp.maximum(var_w, 1e-8))
+        # normalized-residual gradient: minimizing the windowed NSSD
+        # |Ac/sig_a - Wc/sig_w|^2 is ZNCC maximization (NSSD = 2 - 2 ZNCC)
+        # and its descent direction r * dW/ddelta is far better
+        # conditioned near the optimum than the analytic dZNCC/dW, whose
+        # leading terms cancel as ZNCC -> 1 (the reference's CUDA kernel
+        # accumulates the same residual-times-image-gradient form)
+        dz_dw = (Ac / sig_a - Wc / sig_w) / (npx * sig_w)
+        # d W / d delta: B-image gradient dotted with the projection
+        # Jacobian applied to the surface normal
+        gxb, _ = bilinear_sample_xy(gx_all[ib], ub, vb)
+        gyb, _ = bilinear_sample_xy(gy_all[ib], ub, vb)
+        dn = jnp.einsum("ij,hwj->hwi", R, nrm)           # normal in B cam
+        du = (K[0, 0] * dn[..., 0]
+              - (ub - K[0, 2]) * dn[..., 2]) * inv_zb
+        dv = (K[1, 1] * dn[..., 1]
+              - (vb - K[1, 2]) * dn[..., 2]) * inv_zb
+        g_pix = dz_dw * (gxb * du + gyb * dv) * visf
+
+        for k in range(3):
+            grad = grad.at[tri[..., k]].add(g_pix * b3[..., k])
+            wsum = wsum.at[tri[..., k]].add(visf * b3[..., k])
+    return grad, wsum
+
+
 def refine_mesh(vertices: np.ndarray, faces: np.ndarray,
                 images: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
                 Cs: np.ndarray, pairs: np.ndarray,
                 scales: int = 3, scale_step: float = 0.5,
                 base_step: float = None, reg_weight: float = 0.2,
-                iters_per_scale: int = 5,
-                occlusion: bool = True) -> np.ndarray:
+                iters_per_scale: int = 10,
+                occlusion: bool = True,
+                gradient_mode: str = "raster") -> np.ndarray:
     """Multi-scale driver (ref: RefineMesh.cpp --scales 3 --scale-step
-    0.5): displacement scale shrinks by ``scale_step`` per level; with
-    ``occlusion`` the mesh is z-buffer-rasterized into every view once per
-    scale to mask occluded vertices."""
+    0.5): displacement scale shrinks by ``scale_step`` per level.
+
+    ``gradient_mode``:
+      "raster" (default) — per-pixel rasterized ZNCC gradients scattered
+        onto vertices via barycentrics (the reference's CUDA kernel
+        pipeline; sub-vertex-resolution photometric evidence).
+      "fd" — per-vertex finite-difference along-normal line search (the
+        round-1 coarser fallback).
+    With ``occlusion`` the mesh is z-buffer-rasterized into every view
+    once per scale to mask occluded samples.
+    """
     from hcmvs_tpu.mesh.mesh_ops import (compute_vertex_normals,
+                                         rasterize_attributes,
                                          rasterize_depth)
     if base_step is None:
         # ~half the median edge length
@@ -159,22 +275,71 @@ def refine_mesh(vertices: np.ndarray, faces: np.ndarray,
                             faces[:, [2, 0]]]).astype(np.int32)
     V = jnp.asarray(vertices, jnp.float32)
     h, w = images[0].shape[:2]
+    imgs = jnp.asarray(images)
+    Ksj = jnp.asarray(Ks, jnp.float32)
+    Rsj = jnp.asarray(Rs, jnp.float32)
+    Csj = jnp.asarray(Cs, jnp.float32)
+    if gradient_mode == "raster":
+        # central-difference image gradients, once
+        gx = jnp.stack([(jnp.roll(im, -1, 1) - jnp.roll(im, 1, 1)) * 0.5
+                        for im in imgs])
+        gy = jnp.stack([(jnp.roll(im, -1, 0) - jnp.roll(im, 1, 0)) * 0.5
+                        for im in imgs])
     step = base_step
+    faces_j = jnp.asarray(faces.astype(np.int32))
+    edges_j = jnp.asarray(edges)
     for s in range(scales):
         V_np = np.asarray(V)
         normals = jnp.asarray(compute_vertex_normals(V_np, faces))
-        raster = None
-        if occlusion:
-            raster = jnp.asarray(np.stack([
-                rasterize_depth(V_np.astype(np.float64), faces,
-                                Ks[i], Rs[i], Cs[i], h, w)
-                for i in range(len(images))]))
-        V = refine_step(V, normals, jnp.asarray(edges),
-                        jnp.asarray(images), jnp.asarray(Ks, jnp.float32),
-                        jnp.asarray(Rs, jnp.float32),
-                        jnp.asarray(Cs, jnp.float32),
-                        jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
-                        jnp.asarray(step, jnp.float32), reg_weight,
-                        iters_per_scale, raster_depth=raster)
+        if gradient_mode == "raster":
+            rasters, fids, bars = [], [], []
+            for i in range(len(images)):
+                d, fi, ba = rasterize_attributes(
+                    V_np.astype(np.float64), faces, Ks[i], Rs[i], Cs[i],
+                    h, w)
+                rasters.append(d)
+                fids.append(fi)
+                bars.append(ba)
+            raster = jnp.asarray(np.stack(rasters))
+            fid = jnp.asarray(np.stack(fids))
+            bar = jnp.asarray(np.stack(bars))
+            for it in range(iters_per_scale):
+                g, wsum = raster_refine_grad(
+                    V, faces_j, fid, bar, raster, imgs,
+                    gx, gy, Ksj, Rsj, Csj,
+                    jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
+                    int(len(pairs)))
+                gn = g / jnp.maximum(wsum, 1e-6)
+                # annealed trust-region step: the raw ZNCC gradient has
+                # image-dependent magnitude, so normalize by a robust
+                # quantile (linear in gn below the cap — saturating
+                # squashers turn small noisy gradients into full-size
+                # random steps) and shrink the cap within the scale
+                q = jnp.percentile(jnp.abs(gn[wsum > 1.0]), 90) + 1e-12
+                cap = step * (0.8 ** it)
+                move = jnp.clip(gn / q * cap, -cap, cap)
+                V = V + normals * move[:, None]
+                # Laplacian regularization (rigidity/elasticity analog)
+                acc = jnp.zeros_like(V)
+                cnt = jnp.zeros(V.shape[0])
+                acc = acc.at[edges_j[:, 0]].add(V[edges_j[:, 1]])
+                acc = acc.at[edges_j[:, 1]].add(V[edges_j[:, 0]])
+                cnt = cnt.at[edges_j[:, 0]].add(1.0)
+                cnt = cnt.at[edges_j[:, 1]].add(1.0)
+                lap = acc / jnp.maximum(cnt, 1.0)[:, None] - V
+                V = V + reg_weight * lap
+        else:
+            raster = None
+            if occlusion:
+                raster = jnp.asarray(np.stack([
+                    rasterize_depth(V_np.astype(np.float64), faces,
+                                    Ks[i], Rs[i], Cs[i], h, w)
+                    for i in range(len(images))]))
+            V = refine_step(V, normals, edges_j,
+                            imgs, Ksj, Rsj, Csj,
+                            jnp.asarray(pairs[:, 0]),
+                            jnp.asarray(pairs[:, 1]),
+                            jnp.asarray(step, jnp.float32), reg_weight,
+                            iters_per_scale, raster_depth=raster)
         step *= scale_step
     return np.asarray(V)

@@ -26,10 +26,59 @@ def test_refine_pulls_vertices_to_surface():
     images = np.stack(sc.images)
 
     refined = refine_mesh(noisy, faces, images, Ks, Rs, Cs, pairs,
-                          scales=3, iters_per_scale=5, reg_weight=0.1)
+                          scales=3, iters_per_scale=10,
+                          reg_weight=0.1)
     # interior vertices (projected well inside all views)
     interior = (np.abs(verts[:, 0]) < 0.9) & (np.abs(verts[:, 1]) < 0.9)
     err_before = np.abs(noisy[interior, 2] - 4.0)
     err_after = np.abs(refined[interior, 2] - 4.0)
     assert err_after.mean() < 0.5 * err_before.mean()
     assert np.median(err_after) < 0.02
+
+
+def test_raster_gradient_beats_fd_on_curved_surface():
+    """The per-pixel rasterized ZNCC gradient (ref: SceneRefineCUDA.cpp
+    kernel pipeline) must converge a coarse noisy mesh measurably closer
+    to the GT ridge surface than the finite-difference vertex probe at
+    equal iteration budget — per-pixel evidence integrates over whole
+    faces instead of a 5x5 patch at each vertex."""
+    from hcmvs_tpu.utils.synth import make_ridge_scene
+    sc = make_ridge_scene(np.random.default_rng(7), h=96, w=128,
+                          n_views=4, spacing=0.3)
+
+    def ridge_z(x, y):
+        return np.where(x < 0, 4.0 + 0.5 * x, 4.0 - 0.35 * x)
+
+    nx, ny = 14, 14
+    X, Y = np.meshgrid(np.linspace(-1.3, 1.3, nx),
+                       np.linspace(-1.0, 1.0, ny))
+    verts = np.stack([X.ravel(), Y.ravel(),
+                      ridge_z(X, Y).ravel()], 1).astype(np.float32)
+    faces = []
+    for j in range(ny - 1):
+        for i in range(nx - 1):
+            a = j * nx + i
+            faces += [[a, a + 1, a + nx], [a + 1, a + nx + 1, a + nx]]
+    faces = np.asarray(faces, np.int32)
+    noisy = verts.copy()
+    noisy[:, 2] += np.random.default_rng(0).uniform(
+        -0.06, 0.06, len(verts)).astype(np.float32)
+    Ks = np.stack([np.asarray(c.K) for c in sc.cameras])
+    Rs = np.stack([np.asarray(c.R) for c in sc.cameras])
+    Cs = np.stack([np.asarray(c.C) for c in sc.cameras])
+    pairs = np.array([[0, 1], [0, 2], [0, 3], [1, 2]])
+    images = np.stack(sc.images)
+    interior = (np.abs(verts[:, 0]) < 1.0) & (np.abs(verts[:, 1]) < 0.75)
+
+    def err(V):
+        return np.abs(V[interior, 2]
+                      - ridge_z(V[interior, 0], V[interior, 1])).mean()
+
+    out = {}
+    for mode in ("raster", "fd"):
+        r = refine_mesh(noisy, faces, images, Ks, Rs, Cs, pairs,
+                        scales=3, iters_per_scale=10, reg_weight=0.1,
+                        gradient_mode=mode)
+        out[mode] = err(r)
+    assert out["raster"] < err(noisy) * 0.7, out
+    assert out["raster"] < out["fd"], out
