@@ -232,9 +232,11 @@ def sgm_fuse_pairs(depths: jax.Array, costs: jax.Array,
                / jnp.maximum(jnp.sum(w_c, 0), 1e-12))
     c_fused = (jnp.sum(w_c * costs, 0)
                / jnp.maximum(jnp.sum(w_c, 0), 1e-12))
-    # keep single-pair estimates only when no cross-check exists at all
-    # (k == 1 handled above); with >= 2 pairs require >= 1 agreement
-    keep = v_best & (sup_best >= 1.0)
+    # require >= 1 cross-pair agreement wherever a cross-check EXISTS;
+    # pixels with a single valid pair (invalid/padded neighbors) keep
+    # their lone estimate — the cross-VIEW filter still checks them
+    n_valid = valid.sum(0)
+    keep = v_best & ((sup_best >= 1.0) | (n_valid <= 1))
     return jnp.where(keep, d_fused, 0.0), jnp.where(keep, c_fused,
                                                     2.0 * max_cost)
 

@@ -30,6 +30,79 @@ class TexturedMesh(NamedTuple):
     uvs: np.ndarray           # (F, 3, 2) per-corner atlas UVs in [0, 1]
     atlas: np.ndarray         # (A, A, 3) uint8
     labels: np.ndarray        # (F,) winning view per face (-1 = none)
+    utilization: float = 0.0  # packed-area fraction of the atlas
+
+
+class MaxRectsPacker:
+    """MaxRects bin packing, best-short-side-fit heuristic
+    (ref: frame_main/libs/MVS/RectsBinPack.{h,cpp} MaxRectsBinPack —
+    the reference's default texture-atlas packer).
+
+    Keeps the list of maximal free rectangles; each insert picks the free
+    rect minimizing the leftover short side, splits every free rect the
+    placement intersects, and prunes contained ones.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.w = width
+        self.h = height
+        self.free = [(0, 0, width, height)]
+        self.used_area = 0
+
+    def insert(self, rw: int, rh: int):
+        """Place a rw x rh rect; returns (x, y) or None if it won't fit."""
+        best = None
+        best_key = None
+        for (fx, fy, fw, fh) in self.free:
+            if fw >= rw and fh >= rh:
+                short = min(fw - rw, fh - rh)
+                longl = max(fw - rw, fh - rh)
+                key = (short, longl)
+                if best_key is None or key < best_key:
+                    best_key = key
+                    best = (fx, fy)
+        if best is None:
+            return None
+        x, y = best
+        placed = (x, y, rw, rh)
+        new_free = []
+        for fr in self.free:
+            new_free.extend(self._split(fr, placed))
+        # prune free rects contained in another
+        pruned = []
+        for i, a in enumerate(new_free):
+            if any(i != j and self._contains(b, a)
+                   for j, b in enumerate(new_free)):
+                continue
+            pruned.append(a)
+        self.free = pruned
+        self.used_area += rw * rh
+        return x, y
+
+    @staticmethod
+    def _contains(a, b):
+        ax, ay, aw, ah = a
+        bx, by, bw, bh = b
+        return (bx >= ax and by >= ay and bx + bw <= ax + aw
+                and by + bh <= ay + ah)
+
+    @staticmethod
+    def _split(fr, used):
+        fx, fy, fw, fh = fr
+        ux, uy, uw, uh = used
+        if (ux >= fx + fw or ux + uw <= fx
+                or uy >= fy + fh or uy + uh <= fy):
+            return [fr]                       # no overlap
+        out = []
+        if ux > fx:
+            out.append((fx, fy, ux - fx, fh))                 # left
+        if ux + uw < fx + fw:
+            out.append((ux + uw, fy, fx + fw - ux - uw, fh))  # right
+        if uy > fy:
+            out.append((fx, fy, fw, uy - fy))                 # top
+        if uy + uh < fy + fh:
+            out.append((fx, uy + uh, fw, fy + fh - uy - uh))  # bottom
+        return out
 
 
 def _project_np(K, R, C, X):
@@ -341,13 +414,84 @@ def global_seam_leveling(vertices: np.ndarray, faces: np.ndarray,
     return np.linalg.solve(AtA, A.T @ B)      # (n_charts, 3)
 
 
+def local_seam_corrections(vertices: np.ndarray, faces: np.ndarray,
+                           labels: np.ndarray, charts: List[np.ndarray],
+                           offsets: np.ndarray,
+                           images: List[np.ndarray], Ks, Rs, Cs):
+    """Per-chart seam-vertex color corrections for LOCAL seam leveling
+    (ref: SceneTexture.cpp local seam leveling — after the global solve,
+    the residual color difference at each seam vertex is split between
+    the two charts and diffused into each chart's interior).
+
+    Returns per-chart lists of (uv (2,), correction (3,)) in the chart's
+    source-view pixel coordinates.
+    """
+    chart_of_face = np.full(len(faces), -1)
+    for ci, members in enumerate(charts):
+        chart_of_face[members] = ci
+    per_chart: List[list] = [[] for _ in charts]
+    edge_face = {}
+    for f_idx, face in enumerate(faces):
+        ca = chart_of_face[f_idx]
+        for k in range(3):
+            a, b = face[k], face[(k + 1) % 3]
+            e = (min(a, b), max(a, b))
+            if e not in edge_face:
+                edge_face[e] = f_idx
+                continue
+            o = edge_face[e]
+            cb = chart_of_face[o]
+            ca2 = chart_of_face[f_idx]
+            if ca2 < 0 or cb < 0 or ca2 == cb:
+                continue
+            va = labels[charts[ca2][0]]
+            vb = labels[charts[cb][0]]
+            pts = vertices[list(e)]
+            uva, _ = _project_np(Ks[va], Rs[va], Cs[va], pts)
+            uvb, _ = _project_np(Ks[vb], Rs[vb], Cs[vb], pts)
+            col_a = _sample_color(images[va], uva) + offsets[ca2]
+            col_b = _sample_color(images[vb], uvb) + offsets[cb]
+            resid = col_b - col_a                    # (2, 3)
+            for vi in range(2):
+                per_chart[ca2].append((uva[vi], 0.5 * resid[vi]))
+                per_chart[cb].append((uvb[vi], -0.5 * resid[vi]))
+    return per_chart
+
+
+def _apply_local_leveling(patch: np.ndarray, lo: np.ndarray,
+                          seam_pts: list, tau: float) -> np.ndarray:
+    """Add a smoothly-decaying seam correction field to a chart patch:
+    Shepard (inverse-exponential-distance) interpolation of the seam
+    corrections — the banded diffusion of the reference's local leveling
+    without a per-chart Poisson solve."""
+    if not seam_pts:
+        return patch
+    h, w = patch.shape[:2]
+    ys, xs = np.mgrid[0:h, 0:w]
+    acc = np.zeros((h, w, 3))
+    wsum = np.zeros((h, w))
+    for uv, corr in seam_pts:
+        d = np.hypot(xs - (uv[0] - lo[0]), ys - (uv[1] - lo[1]))
+        wgt = np.exp(-d / max(tau, 1.0))
+        acc += wgt[..., None] * corr
+        wsum += wgt
+    corr_field = acc / np.maximum(wsum, 1e-9)[..., None]
+    # fade the field away from the seams (local leveling only corrects a
+    # band; far pixels already match after the global solve)
+    fade = np.clip(wsum / np.maximum(wsum.max(), 1e-9) * 4.0, 0.0, 1.0)
+    return patch + corr_field * fade[..., None]
+
+
 def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
                  images: List[np.ndarray], Ks: np.ndarray, Rs: np.ndarray,
                  Cs: np.ndarray, atlas_size: int = 1024,
-                 padding: int = 2, seam_leveling: bool = True
-                 ) -> TexturedMesh:
+                 padding: int = 2, seam_leveling: bool = True,
+                 local_leveling: bool = True,
+                 packer: str = "maxrects") -> TexturedMesh:
     """Full texturing pass: outlier-reject -> LBP label -> charts ->
-    seam-level -> shelf-pack."""
+    global + local seam leveling -> MaxRects atlas packing
+    (ref: Scene::TextureMesh, SceneTexture.cpp:1972 + RectsBinPack.cpp;
+    ``packer`` = "maxrects" (reference default) | "shelf")."""
     image_sizes = [(im.shape[1], im.shape[0]) for im in images]
     qual = face_view_quality(vertices, faces, Ks, Rs, Cs, image_sizes)
     qual = reject_outlier_views(vertices, faces, qual, images, Ks, Rs, Cs)
@@ -357,6 +501,10 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
                                     images, Ks, Rs, Cs)
                if seam_leveling and charts else
                np.zeros((len(charts), 3)))
+    seam_pts = (local_seam_corrections(vertices, faces, labels, charts,
+                                       offsets, images, Ks, Rs, Cs)
+                if seam_leveling and local_leveling and charts else
+                [[] for _ in charts])
 
     atlas = np.zeros((atlas_size, atlas_size, 3), np.uint8)
     uvs = np.zeros((len(faces), 3, 2), np.float32)
@@ -375,13 +523,17 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
         hi = np.clip(hi, 1, [w_img, h_img])
         chart_info.append((members, v_idx, lo, hi))
 
-    # shelf packing, tallest first (ref: RectsBinPack shelf heuristic)
+    # pack charts, largest first
     order = sorted(range(len(chart_info)),
-                   key=lambda i: -(chart_info[i][3][1]
-                                   - chart_info[i][2][1]))
+                   key=lambda i: -((chart_info[i][3][1]
+                                    - chart_info[i][2][1])
+                                   * (chart_info[i][3][0]
+                                      - chart_info[i][2][0])))
+    rects = MaxRectsPacker(atlas_size, atlas_size)
     x_cur = padding
     y_cur = padding
     shelf_h = 0
+    placed_area = 0
     for ci in order:
         members, v_idx, lo, hi = chart_info[ci]
         cw = hi[0] - lo[0]
@@ -390,18 +542,26 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
         scale = min(1.0, (atlas_size - 2 * padding) / max(cw, ch, 1))
         sw = max(1, int(cw * scale))
         sh = max(1, int(ch * scale))
-        if x_cur + sw + padding > atlas_size:
-            x_cur = padding
-            y_cur += shelf_h + padding
-            shelf_h = 0
-        if y_cur + sh + padding > atlas_size:
-            continue   # atlas full: faces keep uv 0 (degraded, not fatal)
+        if packer == "maxrects":
+            pos = rects.insert(sw + padding, sh + padding)
+            if pos is None:
+                continue   # atlas full: faces keep uv 0 (degraded)
+            x_cur, y_cur = pos[0] + padding // 2, pos[1] + padding // 2
+        else:
+            if x_cur + sw + padding > atlas_size:
+                x_cur = padding
+                y_cur += shelf_h + padding
+                shelf_h = 0
+            if y_cur + sh + padding > atlas_size:
+                continue
         img = images[v_idx]
         patch = img[lo[1]:hi[1], lo[0]:hi[0]]
         if patch.ndim == 2:
             patch = np.repeat(patch[..., None], 3, -1)
-        # seam leveling: per-chart color offset in the image's native scale
+        # seam leveling: per-chart global offset + local seam-band field
         patch = patch.astype(np.float64) + offsets[ci]
+        patch = _apply_local_leveling(patch, lo, seam_pts[ci],
+                                      tau=0.15 * max(cw, ch))
         if img.dtype != np.uint8:
             patch = patch * 255
         patch = np.clip(patch, 0, 255).astype(np.uint8)
@@ -409,6 +569,7 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
             import cv2
             patch = cv2.resize(patch, (sw, sh))
         atlas[y_cur:y_cur + sh, x_cur:x_cur + sw] = patch[:sh, :sw]
+        placed_area += sw * sh
         # per-corner uvs
         for f_idx in members:
             uv_f, _ = _project_np(Ks[v_idx], Rs[v_idx], Cs[v_idx],
@@ -416,12 +577,14 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
             rel = (uv_f - lo) * scale
             uvs[f_idx, :, 0] = (x_cur + rel[:, 0]) / atlas_size
             uvs[f_idx, :, 1] = 1.0 - (y_cur + rel[:, 1]) / atlas_size
-        x_cur += sw + padding
-        shelf_h = max(shelf_h, sh)
+        if packer != "maxrects":
+            x_cur += sw + padding
+            shelf_h = max(shelf_h, sh)
 
     return TexturedMesh(vertices=vertices.astype(np.float32),
                         faces=faces.astype(np.int32), uvs=uvs,
-                        atlas=atlas, labels=labels)
+                        atlas=atlas, labels=labels,
+                        utilization=placed_area / float(atlas_size ** 2))
 
 
 def write_textured_obj(path: str, tm: TexturedMesh) -> None:

@@ -241,3 +241,129 @@ def test_rasterize_depth_plane():
     assert d[1, 1] == 0.0
     inner = d[20:28, 28:36]
     assert (np.abs(inner - 4.0) < 1e-6).all()
+
+
+def _two_view_textured_scene():
+    """Grid mesh on a textured z=4 plane; two laterally-offset views each
+    cover only ~one half (forcing a chart seam down the middle), and
+    view 1 carries a horizontal brightness gradient — a residual no
+    global per-chart constant can cancel."""
+    h, w = 96, 128
+    K = np.array([[170.0, 0, w / 2], [0, 170.0, h / 2], [0, 0, 1.0]])
+    Cs = np.stack([np.array([-0.75, 0.0, 0.0]),
+                   np.array([0.75, 0.0, 0.0])])
+    Rs = np.stack([np.eye(3), np.eye(3)])
+    Ks = np.stack([K, K])
+
+    def tex(x, y):
+        return (0.5 + 0.25 * np.sin(5.1 * x + 3.3 * y)
+                + 0.25 * np.sin(9.7 * x * y + 1.0)).astype(np.float32)
+
+    imgs = []
+    for v in range(2):
+        vv, uu = np.meshgrid(np.arange(h, dtype=np.float64),
+                             np.arange(w, dtype=np.float64), indexing="ij")
+        ray = np.linalg.inv(K) @ np.stack(
+            [uu.ravel(), vv.ravel(), np.ones(h * w)])
+        t = 4.0 / ray[2]
+        X = Cs[v][:, None] + ray * t
+        img = tex(X[0].reshape(h, w), X[1].reshape(h, w))
+        if v == 1:
+            img = img + np.linspace(-0.15, 0.15, w)[None, :]
+        imgs.append(np.clip(img, 0, 1).astype(np.float32))
+    n = 10
+    xs = np.linspace(-1.0, 1.0, n)
+    X, Y = np.meshgrid(xs, xs)
+    verts = np.stack([X.ravel(), Y.ravel(),
+                      np.full(n * n, 4.0)], 1).astype(np.float64)
+    faces = []
+    for j in range(n - 1):
+        for i in range(n - 1):
+            a = j * n + i
+            # wind toward the camera (normal -z): counter-clockwise in xy
+            faces += [[a, a + n, a + 1], [a + 1, a + n, a + n + 1]]
+    faces = np.asarray(faces, np.int32)
+    return verts, faces, imgs, Ks, Rs, Cs
+
+
+def _seam_error(tm, faces):
+    """Mean atlas-color jump across chart-boundary edges."""
+    from collections import defaultdict
+    h, w = tm.atlas.shape[:2]
+
+    def at(uv):
+        x = int(np.clip(uv[0] * w, 0, w - 1))
+        y = int(np.clip((1 - uv[1]) * h, 0, h - 1))
+        return tm.atlas[y, x].astype(float)
+
+    edge_face = {}
+    diffs = []
+    for fi, face in enumerate(faces):
+        for k in range(3):
+            a, b = face[k], face[(k + 1) % 3]
+            e = (min(a, b), max(a, b))
+            if e not in edge_face:
+                edge_face[e] = (fi, k)
+                continue
+            fo, ko = edge_face[e]
+            if tm.labels[fi] == tm.labels[fo] or tm.labels[fi] < 0 \
+                    or tm.labels[fo] < 0:
+                continue
+            # midpoints of the shared edge in each face's chart
+            uv_a = 0.5 * (tm.uvs[fi, k] + tm.uvs[fi, (k + 1) % 3])
+            uv_b = 0.5 * (tm.uvs[fo, ko] + tm.uvs[fo, (ko + 1) % 3])
+            diffs.append(np.abs(at(uv_a) - at(uv_b)).mean())
+    return float(np.mean(diffs)) if diffs else 0.0
+
+
+def test_local_seam_leveling_tightens_seams():
+    """Local (seam-band) leveling must reduce the residual seam jump that
+    the global per-chart constants cannot cancel (ref: SceneTexture.cpp
+    local seam leveling)."""
+    from hcmvs_tpu.mesh.texture import texture_mesh
+    verts, faces, imgs, Ks, Rs, Cs = _two_view_textured_scene()
+    tm_g = texture_mesh(verts, faces, imgs, Ks, Rs, Cs, atlas_size=512,
+                        local_leveling=False)
+    tm_l = texture_mesh(verts, faces, imgs, Ks, Rs, Cs, atlas_size=512,
+                        local_leveling=True)
+    # identical labeling -> comparable seams
+    assert (tm_g.labels == tm_l.labels).all()
+    e_g = _seam_error(tm_g, faces)
+    e_l = _seam_error(tm_l, faces)
+    if e_g > 2.0:    # only meaningful when there IS a seam residual
+        assert e_l < e_g, (e_l, e_g)
+
+
+def test_maxrects_utilization_beats_shelf():
+    """The MaxRects packer (ref: RectsBinPack.cpp) must place at least as
+    much chart area as the shelf heuristic."""
+    from hcmvs_tpu.mesh.texture import texture_mesh
+    verts, faces, imgs, Ks, Rs, Cs = _two_view_textured_scene()
+    tm_m = texture_mesh(verts, faces, imgs, Ks, Rs, Cs, atlas_size=256,
+                        packer="maxrects")
+    tm_s = texture_mesh(verts, faces, imgs, Ks, Rs, Cs, atlas_size=256,
+                        packer="shelf")
+    assert tm_m.utilization >= tm_s.utilization, (tm_m.utilization,
+                                                  tm_s.utilization)
+    assert tm_m.utilization > 0
+
+
+def test_maxrects_packer_dense():
+    """Pure packer check: many mixed rects reach decent utilization and
+    never overlap."""
+    from hcmvs_tpu.mesh.texture import MaxRectsPacker
+    rng = np.random.default_rng(0)
+    p = MaxRectsPacker(256, 256)
+    placed = []
+    for _ in range(200):
+        w, h = rng.integers(8, 60, 2)
+        pos = p.insert(int(w), int(h))
+        if pos is not None:
+            placed.append((pos[0], pos[1], int(w), int(h)))
+    # no overlaps
+    grid = np.zeros((256, 256), np.int32)
+    for (x, y, w, h) in placed:
+        grid[y:y + h, x:x + w] += 1
+    assert grid.max() == 1
+    util = sum(w * h for (_, _, w, h) in placed) / 256.0 ** 2
+    assert util > 0.75, util
