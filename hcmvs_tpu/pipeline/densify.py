@@ -253,6 +253,9 @@ def main(argv=None):
                          "values, e.g. -1)")
     ap.add_argument("--no-resume", action="store_true",
                     help="re-estimate even if depth*.dmap files exist")
+    ap.add_argument("--export-viewer", action="store_true",
+                    help="also write scene_dense.html (offline WebGL "
+                         "orbit viewer — the Viewer app equivalent)")
     args = ap.parse_args(argv)
     flags = dict(f.split("=", 1) for f in args.flags)
     cfg = config_from_cli_flags(flags)
@@ -260,6 +263,14 @@ def main(argv=None):
     stats = densify(args.input_file, images_dir, args.working_dir, cfg,
                     resume=not args.no_resume,
                     filter_point_cloud=args.filter_point_cloud)
+    if args.export_viewer:
+        from hcmvs_tpu.io.ply import read_ply
+        from hcmvs_tpu.io.viewer import export_viewer_html
+        ply = os.path.join(args.working_dir, "scene_dense.ply")
+        verts, extras = read_ply(ply)
+        export_viewer_html(os.path.join(args.working_dir,
+                                        "scene_dense.html"),
+                           verts, colors=extras.get("colors"))
     print({k: v for k, v in stats.items()
            if k not in ("depth", "normal", "conf")})
     from hcmvs_tpu.utils.profiling import log_report

@@ -142,3 +142,37 @@ def test_config_from_cli():
     assert cfg.photometric_flow == 0.26
     assert cfg.adapt_half_window == 7
     assert hash(cfg) == hash(cfg.replace())
+
+
+def test_viewer_html_export(tmp_path):
+    """The offline viewer HTML embeds the geometry losslessly and leaves
+    no unsubstituted template fields (ref capability: apps/Viewer — here
+    an exported dependency-free WebGL orbit viewer)."""
+    import base64
+    import re
+    from hcmvs_tpu.io.viewer import export_viewer_html
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (500, 3)).astype(np.uint8)
+    faces = rng.integers(0, 500, (300, 3)).astype(np.int32)
+    path = tmp_path / "v.html"
+    export_viewer_html(str(path), pts, colors=cols, faces=faces,
+                       title="t")
+    html = path.read_text()
+    assert "%(" not in html          # all template fields substituted
+    assert html.count("<script>") == 1
+
+    def blob(name):
+        m = re.search(rf'const {name} = "([^"]*)"', html)
+        return base64.b64decode(m.group(1))
+
+    p2 = np.frombuffer(blob("PTS_B64"), np.float32).reshape(-1, 3)
+    np.testing.assert_array_equal(p2, pts)
+    c2 = np.frombuffer(blob("COL_B64"), np.uint8).reshape(-1, 3)
+    np.testing.assert_array_equal(c2, cols)
+    f2 = np.frombuffer(blob("IDX_B64"), np.uint32).reshape(-1, 3)
+    np.testing.assert_array_equal(f2, faces.astype(np.uint32))
+    # braces balance in the embedded JS (cheap syntax smoke test)
+    js = html.split("<script>")[1].split("</script>")[0]
+    assert js.count("{") == js.count("}")
+    assert js.count("(") == js.count(")")
