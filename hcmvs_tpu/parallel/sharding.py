@@ -47,6 +47,8 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
     axes; per-scene scalars and the camera bundle are replicated (they are
     tiny and every device needs every camera for cross-view projection).
     """
+    from hcmvs_tpu.ops.volume import VolumeTables
+
     def nshard(*spec):
         return NamedSharding(mesh, P(*spec))
 
@@ -56,6 +58,14 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
     planes4 = nshard("view", None, "tile", None)
     per_img = nshard("view")                   # (N,)
     repl = nshard()
+    # exact-scoring sweep tables: (N, V, P_pad, D) — view-sharded; the
+    # flattened-pixel axis interleaves rows, so the tile axis does not
+    # shard it (tile devices of a view row read the table via gather)
+    vols = VolumeTables(tab=nshard("view", None, None, None),
+                        sig0=nshard("view", None),
+                        inv_dsig=nshard("view", None),
+                        sig_lo=nshard("view", None, None, None),
+                        sig_hi=nshard("view", None, None, None))
 
     tensors = SceneTensors(
         gray=img3,
@@ -64,7 +74,8 @@ def scene_shardings(mesh: Mesh) -> Tuple[SceneTensors, SceneState]:
         nbr_valid=nshard("view", None),
         d_min=per_img, d_max=per_img,
         seed_depth=img3, flows=planes4, prior_depth=img3,
-        semantic=img3)
+        semantic=img3, inject_depth=img3, inject_normal=planes4,
+        vols=vols)
     state = SceneState(depth=img3, normal=planes4, cost=img3,
                        keys=nshard("view", None))
     return tensors, state
@@ -94,15 +105,15 @@ def shard_scene(scene: SceneTensors, state: SceneState, mesh: Mesh
 
 
 def _match_tree(spec_tree, value_tree):
-    """Prune sharding entries whose value is None (optional fields)."""
-    leaves_v, treedef = jax.tree.flatten(value_tree,
-                                         is_leaf=lambda x: x is None)
-    leaves_s, _ = jax.tree.flatten(spec_tree, is_leaf=lambda x: x is None)
-    # SceneTensors field order matches because both trees share the type
-    out = []
-    for v, s in zip(leaves_v, leaves_s):
-        out.append(None if v is None else s)
-    return jax.tree.unflatten(treedef, out)
+    """Prune sharding entries whose value is None (optional fields) —
+    field-wise, so container-valued fields (e.g. the VolumeTables
+    NamedTuple) keep their per-leaf specs when present."""
+    import dataclasses as _dc
+    kw = {}
+    for f in _dc.fields(type(value_tree)):
+        v = getattr(value_tree, f.name)
+        kw[f.name] = None if v is None else getattr(spec_tree, f.name)
+    return type(value_tree)(**kw)
 
 
 def shard_ba(problem, state, mesh: Mesh):
