@@ -83,14 +83,62 @@ def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
                              jnp.maximum(1.0 - state.cost, 0.01),
                              scene.cams, scene.nbr_idx, scene.nbr_valid,
                              jnp.arange(n_views, dtype=jnp.float32), cfg)
-    cloud = compact_point_cloud(fused)
+    cloud = compact_point_cloud(fused, nbr_idx=np.asarray(scene.nbr_idx),
+                                confs=np.asarray(conf))
     dist = (float(np.median(sc.surface_dist(cloud["points"])))
             if len(cloud["points"]) else float("inf"))
+
+    # surface F-score gate: graph-cut mesh from the fused MULTI-VIEW
+    # cloud (full per-point observation lists), sampled against GT
+    # surface samples (ref: the ETH3D/T&T-style metric of SURVEY §6)
+    mesh_fscore = 0.0
+    if len(cloud["points"]) > 100:
+        from hcmvs_tpu.eval.compare import point_cloud_fscore
+        from hcmvs_tpu.mesh.delaunay import reconstruct_mesh
+        from hcmvs_tpu.mesh.mesh_ops import sample_points
+        sub = np.random.default_rng(1).permutation(
+            len(cloud["points"]))[:4000]
+        pts = cloud["points"][sub].astype(np.float64)
+        offs = np.concatenate([[0], np.cumsum(cloud["view_counts"])])
+        obs_pt, obs_cam, obs_w = [], [], []
+        for ci, p in enumerate(sub):
+            for k in range(offs[p], offs[p + 1]):
+                obs_pt.append(ci)
+                obs_cam.append(cloud["view_ids"][k])
+                obs_w.append(max(cloud["view_confs"][k], 0.1))
+        centers = np.stack([np.asarray(c.C) for c in sc.cameras])
+        try:
+            mesh = reconstruct_mesh(pts, centers,
+                                    cloud["owner_view"][sub],
+                                    obs_pt=np.asarray(obs_pt),
+                                    obs_cam=np.asarray(obs_cam),
+                                    obs_weight=np.asarray(obs_w))
+            samples, _ = sample_points(mesh.vertices, mesh.faces, 8000)
+            # GT surface samples: backproject the ref view's GT depth
+            K0 = np.asarray(sc.cameras[0].K)
+            hh, ww = sc.depth_gt.shape
+            vv, uu = np.meshgrid(np.arange(hh), np.arange(ww),
+                                 indexing="ij")
+            sel = np.random.default_rng(2).permutation(hh * ww)[:8000]
+            rays = np.linalg.inv(K0) @ np.stack(
+                [uu.ravel()[sel], vv.ravel()[sel], np.ones(len(sel))])
+            gt_pts = (rays * sc.depth_gt.ravel()[sel]).T
+            # threshold at 2x the SUBSAMPLED cloud's point spacing — the
+            # finest surface the reconstruction could represent (the
+            # ETH3D-style metric is always quoted at a stated tolerance)
+            from scipy.spatial import cKDTree
+            h_sub = float(np.median(
+                cKDTree(pts).query(pts, k=2)[0][:, 1]))
+            mesh_fscore = point_cloud_fscore(
+                samples, gt_pts, 2.0 * h_sub)["fscore"]
+        except Exception:
+            mesh_fscore = -1.0
 
     return {"ate_rmse": round(pose_stats["rmse"], 5),
             "sfm_rms_px": round(sfm_rms, 3),
             "depth_acc_2pct": round(depth_acc, 3),
             "cloud_dist": round(dist, 5),
+            "mesh_fscore": round(mesh_fscore, 3),
             "n_points": len(cloud["points"]),
             "registered": len(reg), "views": n_views}
 
