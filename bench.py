@@ -42,12 +42,14 @@ import sys
 import time
 
 CACHE_DIR = "/tmp/hcmvs_bench_jax_cache"
-# estimated 32-core CPU reference at 640x480 (see docstring); smaller
+# estimated 32-core CPU reference at 640x480 (see docstring); other
 # sizes scale the estimate by pixel count
-BASELINE_VIEWS_PER_S = {(480, 640): 0.2, (240, 320): 0.8, (96, 128): 20.0}
-# flagship 640x480 (reference-realistic); ladder falls back on tunnel
-# failures
-SIZES = [(4, 480, 640, 3), (4, 240, 320, 3), (4, 96, 128, 3)]
+BASELINE_VIEWS_PER_S = {(960, 1280): 0.05, (480, 640): 0.2,
+                        (240, 320): 0.8, (96, 128): 20.0}
+# flagship 1280x960 (reference-realistic resolution class); ladder falls
+# back on tunnel failures
+SIZES = [(4, 960, 1280, 3), (4, 480, 640, 3), (4, 240, 320, 3),
+         (4, 96, 128, 3)]
 
 
 def main():
@@ -57,7 +59,7 @@ def main():
                 str(n_views), str(h), str(w), str(v_nbr), "timed"]
         try:
             r = subprocess.run(args, capture_output=True,
-                               text=True, timeout=480, cwd="/")
+                               text=True, timeout=560, cwd="/")
             if r.returncode != 0:
                 raise RuntimeError(f"worker rc={r.returncode}: "
                                    f"{r.stderr[-400:]}")

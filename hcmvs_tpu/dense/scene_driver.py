@@ -148,8 +148,18 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
         return st.depth, st.normal, st.cost, st.key
 
     idx = jnp.arange(state.depth.shape[0])
-    d, n, c, k = jax.vmap(per_view)(
-        idx, (state.depth, state.normal, state.cost, state.keys))
+    leaves = (state.depth, state.normal, state.cost, state.keys)
+    h, w = state.depth.shape[1:]
+    if h * w > 640 * 480:
+        # large images: serialize the view axis (lax.map) — one view's
+        # sweep already saturates the chip, and the vmapped working set
+        # (N x per-candidate (S, H, W) intermediates) is what OOMs at
+        # reference-scale resolutions (measured: 1280x960 x 4 views
+        # needs 18.4G vmapped; fits serialized)
+        d, n, c, k = jax.lax.map(lambda a: per_view(a[0], a[1]),
+                                 (idx, leaves))
+    else:
+        d, n, c, k = jax.vmap(per_view)(idx, leaves)
     return SceneState(depth=d, normal=n, cost=c, keys=k)
 
 

@@ -51,7 +51,13 @@ class VolumeTables(NamedTuple):
     """Per-(ref, src-view) sweep tables; leading dim V (then N at scene
     level via an outer vmap/stack)."""
 
-    tab: jax.Array       # (V, P_pad, D) f32, P_pad = ceil(H*W / chunk)
+    tab: jax.Array       # (V, P_pad, D) bf16 (intensities; the 2^-8
+                         # relative rounding is below image noise and
+                         # halves the dominant HBM tenant at scale —
+                         # 1280x960 x 12 pairs: 7.5G f32 -> 3.75G).
+                         # The kernel upcasts each VMEM tile to f32
+                         # before the lane gather (Mosaic requires
+                         # matching index/data bitwidths).
     sig0: jax.Array      # (V,) grid origin
     inv_dsig: jax.Array  # (V,) 1 / grid step
     sig_lo: jax.Array    # (V, H, W) valid-sigma interval (already shrunk
@@ -132,7 +138,7 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
             planes.append(w0 * cm1 + w1 * coarse + w2 * cp1 + w3 * cp2)
         vol = jnp.stack(planes, axis=1).reshape(
             n_coarse * build_step, h, w)[:D_PLANES]
-    tab = vol.reshape(D_PLANES, h * w).T                   # (P, D)
+    tab = vol.reshape(D_PLANES, h * w).T.astype(jnp.bfloat16)  # (P, D)
     p_pad = _round_up(h * w, _CHUNK)
     tab = jnp.pad(tab, ((0, p_pad - h * w), (0, 0)))
 
@@ -174,7 +180,8 @@ def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int):
     idx = jnp.concatenate(
         [i0i, i0i + 1,
          jnp.zeros((chunk, pad), jnp.int32)], axis=1)  # (chunk, D)
-    g = jnp.take_along_axis(tab_ref[...], idx, axis=1)
+    g = jnp.take_along_axis(tab_ref[...].astype(jnp.float32), idx,
+                            axis=1)
     g0 = g[:, :s]
     g1 = g[:, s:2 * s]
     out_ref[...] = g0 + (g1 - g0) * t
@@ -211,6 +218,7 @@ def volume_lookup_xla(tab: jax.Array, f: jax.Array) -> jax.Array:
     i0 = jnp.clip(jnp.floor(f), 0.0, D_PLANES - 2.0)
     t = f - i0
     i0i = i0.astype(jnp.int32)
+    tab = tab.astype(jnp.float32)
     g0 = jnp.take_along_axis(tab, i0i, axis=1)
     g1 = jnp.take_along_axis(tab, i0i + 1, axis=1)
     return g0 + (g1 - g0) * t
@@ -230,7 +238,16 @@ def build_volume_tables(geom, src_grays: jax.Array, d_min: jax.Array,
     def per_view(A, wv, src):
         return build_view_volume(A, wv, src, sig0, dsig, h, w)
 
-    tab, lo, hi = jax.vmap(per_view)(geom.A, geom.wv, src_grays)
+    if h * w > 640 * 480:
+        # large images: serialize the neighbor axis — the vmapped build
+        # holds V pairs' multi-GB f32 plane stacks live at once, which
+        # thrashes HBM at reference-scale sizes (measured 72s vs ~5s for
+        # the serialized build at 1280x960)
+        tab, lo, hi = jax.lax.map(
+            lambda a: per_view(a[0], a[1], a[2]),
+            (geom.A, geom.wv, src_grays))
+    else:
+        tab, lo, hi = jax.vmap(per_view)(geom.A, geom.wv, src_grays)
     return VolumeTables(tab=tab,
                         sig0=jnp.broadcast_to(sig0, (v,)),
                         inv_dsig=jnp.broadcast_to(1.0 / dsig, (v,)),
