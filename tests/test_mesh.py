@@ -367,3 +367,56 @@ def test_maxrects_packer_dense():
     assert grid.max() == 1
     util = sum(w * h for (_, _, w, h) in placed) / 256.0 ** 2
     assert util > 0.75, util
+
+
+def test_qem_decimation_preserves_sharp_features():
+    """QEM edge collapse (ref: VCG quadric decimation) must keep sharp
+    box edges that grid clustering rounds off — planar regions collapse
+    losslessly."""
+    from hcmvs_tpu.mesh.mesh_ops import decimate_mesh, sample_points
+
+    def grid_patch(n, face_fn, off):
+        xs = np.linspace(-1, 1, n)
+        X, Y = np.meshgrid(xs, xs)
+        V = face_fn(X.ravel(), Y.ravel())
+        F = []
+        for j in range(n - 1):
+            for i in range(n - 1):
+                a = j * n + i
+                F += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+        return V, np.asarray(F, np.int32) + off
+
+    n = 16
+    parts_v, parts_f, off = [], [], 0
+    for axis in range(3):
+        for s in (-1.0, 1.0):
+            def fn(x, y, axis=axis, s=s):
+                out = np.zeros((len(x), 3))
+                other = [k for k in range(3) if k != axis]
+                out[:, other[0]] = x
+                out[:, other[1]] = y
+                out[:, axis] = s
+                return out
+            V, F = grid_patch(n, fn, off)
+            parts_v.append(V)
+            parts_f.append(F)
+            off += len(V)
+    V = np.concatenate(parts_v).astype(np.float32)
+    F = np.concatenate(parts_f)
+
+    def box_dist(p):
+        q = np.abs(p)
+        outside = np.maximum(q - 1.0, 0)
+        d_out = np.linalg.norm(outside, axis=1)
+        d_in = np.abs(q.max(1) - 1.0)
+        return np.where((q <= 1.0).all(1), d_in, d_out)
+
+    vq, fq = decimate_mesh(V, F, 0.15, method="qem")
+    vc, fc = decimate_mesh(V, F, 0.15, method="cluster")
+    sq, _ = sample_points(vq, fq, 8000)
+    scl, _ = sample_points(vc, fc, 8000)
+    eq = box_dist(sq)
+    ec = box_dist(scl)
+    assert len(vq) < 0.3 * len(V)
+    assert eq.mean() < 1e-4, eq.mean()            # planar: lossless
+    assert eq.mean() < ec.mean() * 0.5, (eq.mean(), ec.mean())
