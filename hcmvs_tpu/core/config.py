@@ -125,7 +125,15 @@ class DenseConfig:
                                        # soft prior term until semantic
                                        # priors replace it (ref: restore
                                        # resize_/nresize_ maps feeding
-                                       # GenerateFinalPrior)
+                                       # GenerateFinalPrior).
+                                       # Measured A/B (3-stage hierarchy):
+                                       # ridge golden inject/prior/both =
+                                       # 0.969/0.970/0.969; occlusion box
+                                       # = 0.931/0.934/0.931 — the two
+                                       # channels are equivalent within
+                                       # noise, injection slightly denser
+                                       # (valid 0.992 vs 0.989); both stay
+                                       # on to match the reference.
     geo_max_neighbors: int = 4         # neighbor depth maps gathered for
                                        # geo consistency / scoring.
                                        # Measured A/B on a 9-view ridge
