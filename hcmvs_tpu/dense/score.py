@@ -46,7 +46,7 @@ from hcmvs_tpu.core.config import DenseConfig
 from hcmvs_tpu.dense.types import (ViewGeometry, mat3_apply,
                                    mat3_apply_t, normalize3)
 from hcmvs_tpu.ops.sampling import (bilinear_sample_xy,
-                                    nearest_sample_planes)
+                                    nearest_sample_planes_batched)
 
 _SIGMA_COLOR = 0.2          # ref: DepthMap.h:538 GetWeight sigmaColor
 _GRA_STRONG = 100.0         # ref: DepthMap.cpp:457 hardcoded texture split
@@ -526,7 +526,7 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
     X0 = (rays[0] * depth, rays[1] * depth, rays[2] * depth)
     max_dist = float(np.hypot(w / 2, h / 2))
 
-    def per_view(R_rel, t_rel, K_src, K_inv_src, F, nbr_d, nbr_n):
+    def fwd_view(R_rel, t_rel, K_src):
         X1 = mat3_apply(R_rel, X0)
         X1 = (X1[0] + t_rel[0], X1[1] + t_rel[1], X1[2] + t_rel[2])
         p1 = mat3_apply(K_src, X1)
@@ -536,13 +536,19 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
         v1c = p1[1] * inv_z1
         in1 = (u1 >= 0) & (u1 <= w - 1) & (v1c >= 0) & (v1c <= h - 1) \
             & (z1 > 0)
-        # nearest lookups, matching the reference's integer-pixel reads
-        # (depthMap(x1_i), DepthMap.cpp:652-655) — depth + 3 normal planes
-        # packed into ONE gather (gathers cost per-index on TPU)
-        u1r = jnp.round(u1)
-        v1r = jnp.round(v1c)
-        taps, vd = nearest_sample_planes(
-            jnp.concatenate([nbr_d[None], nbr_n]), u1r, v1r)
+        return u1, v1c, in1
+
+    u1_all, v1_all, in1_all = jax.vmap(fwd_view)(geom.R_rel, geom.t_rel,
+                                                 geom.K_src)
+    # nearest lookups, matching the reference's integer-pixel reads
+    # (depthMap(x1_i), DepthMap.cpp:652-655) — depth + 3 normal planes of
+    # ALL V views packed into ONE flat gather (gathers cost per-index on
+    # TPU, and a flat gather beats XLA's batched one — ops/sampling.py)
+    taps_all, vd_all = nearest_sample_planes_batched(
+        jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
+        jnp.round(u1_all), jnp.round(v1_all))
+
+    def per_view(R_rel, t_rel, K_inv_src, F, u1, v1c, in1, taps, vd):
         d1 = taps[0]
         n1 = normalize3((taps[1], taps[2], taps[3]))
         # back-project via neighbor's depth
@@ -573,8 +579,9 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
         bad = (~in1) | (~in0) | (d1 <= 0) | (~vd) | (err > max_dist)
         return jnp.where(bad, 1.0, jnp.minimum(score, 2.0))
 
-    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_src,
-                              geom.K_inv_src, geom.F, nbr_depth, nbr_normal)
+    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_inv_src,
+                              geom.F, u1_all, v1_all, in1_all, taps_all,
+                              vd_all)
 
 
 def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
@@ -592,15 +599,21 @@ def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
     h, w = depth.shape
     X0 = (rays[0] * depth, rays[1] * depth, rays[2] * depth)
 
-    def per_view(R_rel, t_rel, K_src, K_inv_src, nbr_d, nbr_n):
+    def fwd_view(R_rel, t_rel, K_src):
         X1 = mat3_apply(R_rel, X0)
         X1 = (X1[0] + t_rel[0], X1[1] + t_rel[1], X1[2] + t_rel[2])
         p1 = mat3_apply(K_src, X1)
         inv_z1 = 1.0 / jnp.where(jnp.abs(p1[2]) < 1e-9, 1e-9, p1[2])
-        u1 = jnp.round(p1[0] * inv_z1)
-        v1 = jnp.round(p1[1] * inv_z1)
-        taps, ok_d = nearest_sample_planes(
-            jnp.concatenate([nbr_d[None], nbr_n]), u1, v1)
+        return (jnp.round(p1[0] * inv_z1), jnp.round(p1[1] * inv_z1),
+                p1[2])
+
+    u1_all, v1_all, z1_all = jax.vmap(fwd_view)(geom.R_rel, geom.t_rel,
+                                                geom.K_src)
+    taps_all, ok_all = nearest_sample_planes_batched(
+        jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
+        u1_all, v1_all)
+
+    def per_view(R_rel, t_rel, K_inv_src, u1, v1, z1, taps, ok_d):
         d1 = taps[0]
         n1 = (taps[1], taps[2], taps[3])
         # back-project the neighbor's hypothesis into the ref frame
@@ -610,11 +623,11 @@ def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
                                    X1b[2] - t_rel[2]))
         cand_d = X0b[2]
         n_ref = normalize3(mat3_apply_t(R_rel, n1))
-        valid = ok_d & (d1 > 0) & (p1[2] > 0) & (cand_d > 0)
+        valid = ok_d & (d1 > 0) & (z1 > 0) & (cand_d > 0)
         return cand_d, jnp.stack(n_ref), valid
 
-    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_src,
-                              geom.K_inv_src, nbr_depth, nbr_normal)
+    return jax.vmap(per_view)(geom.R_rel, geom.t_rel, geom.K_inv_src,
+                              u1_all, v1_all, z1_all, taps_all, ok_all)
 
 
 def flow_score(geom: ViewGeometry, depth: jax.Array, rays: jax.Array,
