@@ -193,6 +193,23 @@ class DenseConfig:
                                        # elsewhere.  "volume": force the
                                        # tables (CPU parity tests).
                                        # "bilinear": force direct gathers.
+    geo_backend: str = "auto"          # how the geo-consistency term and
+                                       # view-spread fetch neighbor
+                                       # (depth, normal) samples.  "auto":
+                                       # the rectified-epipolar Pallas
+                                       # engine on TPU (ops/rect_gather.py
+                                       # — candidate-independent rect rows
+                                       # + lane-gather window resolve
+                                       # replace the per-index XLA gathers
+                                       # that dominate the geometric
+                                       # phase), direct gathers elsewhere.
+                                       # "rect": force the rect engine
+                                       # (CPU parity tests use its XLA
+                                       # replica).  "direct": force
+                                       # per-index gathers (also the
+                                       # fallback for pathological pair
+                                       # geometry or non-8/128-aligned
+                                       # image sizes).
 
     @property
     def num_patch_samples(self) -> int:

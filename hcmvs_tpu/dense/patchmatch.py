@@ -59,6 +59,11 @@ class ScoreContext:
     vol: Optional[object] = None       # ops.volume.VolumeTables (V-batched)
                                        # routing exact scoring through the
                                        # sigma-sweep lane-gather kernel
+    rect: Optional[object] = None      # ops.rect_gather.RectContext —
+                                       # rectified-epipolar neighbor-map
+                                       # lookups for the geo term and
+                                       # view-spread (rebuilt per external
+                                       # iteration with the snapshot)
 
 
 def propagation_offsets(cfg: DenseConfig) -> list:
@@ -96,7 +101,8 @@ def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
                and ctx.nbr_depth is not None)
     if use_geo:
         geo = S.geometric_scores(ctx.geom, depth, normal, ctx.rays,
-                                 ctx.nbr_depth, ctx.nbr_normal, cfg)
+                                 ctx.nbr_depth, ctx.nbr_normal, cfg,
+                                 rect=ctx.rect)
         para_tapa, para_part = S.texture_weights(ctx.gra, cfg)
         gra_s = S.local_smoothness_score(cur_depth_map, cur_normal_map,
                                          ctx.rays, depth, normal, ctx.d_max,
@@ -213,7 +219,8 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
     # same graph as the propagation candidates.
     if cfg.view_spread and ctx.nbr_depth is not None:
         vs_d, vs_n, vs_ok = S.view_spread_candidates(
-            ctx.geom, cur_d, ctx.rays, ctx.nbr_depth, ctx.nbr_normal)
+            ctx.geom, cur_d, ctx.rays, ctx.nbr_depth, ctx.nbr_normal,
+            rect=ctx.rect)
         vs_n = jnp.stack([jnp.stack(face_camera_t(
             (vs_n[v, 0], vs_n[v, 1], vs_n[v, 2]),
             (ctx.rays[0], ctx.rays[1], ctx.rays[2])))

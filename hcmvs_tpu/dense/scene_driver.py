@@ -129,6 +129,16 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
         else:
             nbr_depth = nbr_normal = None
         ctx = _per_view_context(scene, i, nbr_depth, nbr_normal, cfg)
+        if use_rect and nbr_depth is not None:
+            # rectified-epipolar lookup engine for the geo term /
+            # view-spread: warp the frozen neighbor snapshot into the
+            # per-pair rect frames once per external iteration
+            # (ops/rect_gather.py)
+            from hcmvs_tpu.ops.rect_gather import build_rect_context
+            rect = build_rect_context(
+                ctx.geom,
+                jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1))
+            ctx = dataclasses.replace(ctx, rect=rect)
 
         def one_iter(s, inj):
             s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets,
@@ -150,12 +160,16 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
     idx = jnp.arange(state.depth.shape[0])
     leaves = (state.depth, state.normal, state.cost, state.keys)
     h, w = state.depth.shape[1:]
-    if h * w > 640 * 480:
+    use_rect = (use_nbr and S.use_rect_backend(cfg, h, w)
+                and (cfg.use_geo_consistency or cfg.view_spread))
+    if h * w > 640 * 480 or use_rect:
         # large images: serialize the view axis (lax.map) — one view's
         # sweep already saturates the chip, and the vmapped working set
         # (N x per-candidate (S, H, W) intermediates) is what OOMs at
         # reference-scale resolutions (measured: 1280x960 x 4 views
-        # needs 18.4G vmapped; fits serialized)
+        # needs 18.4G vmapped; fits serialized).  The rect-lookup Pallas
+        # kernel also requires lax.map: its scalar-prefetch grid spec
+        # does not survive vmap batching
         d, n, c, k = jax.lax.map(lambda a: per_view(a[0], a[1]),
                                  (idx, leaves))
     else:

@@ -508,9 +508,33 @@ def aggregate_scores(scores: jax.Array, cfg: DenseConfig) -> jax.Array:
             / jnp.sum(use, axis=-1))
 
 
+def use_rect_backend(cfg: DenseConfig, h: int, w: int) -> bool:
+    """Whether neighbor-map lookups route through the rectified-epipolar
+    engine (ops/rect_gather.py).  Requires native-tile-aligned sizes."""
+    if h % 8 or w % 128:
+        return False
+    if cfg.geo_backend == "rect":
+        return True
+    return (cfg.geo_backend == "auto" and cfg.use_pallas
+            and jax.default_backend() == "tpu")
+
+
+def _rect_taps(rect, depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(V, 4, H, W) neighbor (depth, normal) samples at each pixel's
+    forward projection, via the rect engine; valid = depth tap > 0."""
+    from hcmvs_tpu.ops.rect_gather import rect_lookup, rect_lookup_xla
+    sigma = 1.0 / jnp.maximum(depth, 1e-9)
+    if jax.default_backend() == "tpu":
+        taps = rect_lookup(rect, sigma)
+    else:
+        taps = rect_lookup_xla(rect, sigma)
+    return taps, taps[:, 0] > 0.0
+
+
 def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
                      rays: jax.Array, nbr_depth: jax.Array,
-                     nbr_normal: jax.Array, cfg: DenseConfig) -> jax.Array:
+                     nbr_normal: jax.Array, cfg: DenseConfig,
+                     rect=None) -> jax.Array:
     """Forward-backward reprojection consistency per view: (V, H, W) in
     [0, 2] (ref: DepthMap.cpp:625-732).
 
@@ -541,12 +565,17 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
     u1_all, v1_all, in1_all = jax.vmap(fwd_view)(geom.R_rel, geom.t_rel,
                                                  geom.K_src)
     # nearest lookups, matching the reference's integer-pixel reads
-    # (depthMap(x1_i), DepthMap.cpp:652-655) — depth + 3 normal planes of
-    # ALL V views packed into ONE flat gather (gathers cost per-index on
-    # TPU, and a flat gather beats XLA's batched one — ops/sampling.py)
-    taps_all, vd_all = nearest_sample_planes_batched(
-        jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
-        jnp.round(u1_all), jnp.round(v1_all))
+    # (depthMap(x1_i), DepthMap.cpp:652-655).  With a rect context the
+    # samples come from the rectified-epipolar Pallas engine
+    # (ops/rect_gather.py); otherwise depth + 3 normal planes of ALL V
+    # views ride ONE flat gather (gathers cost per-index on TPU, and a
+    # flat gather beats XLA's batched one — ops/sampling.py)
+    if rect is not None:
+        taps_all, vd_all = _rect_taps(rect, depth)
+    else:
+        taps_all, vd_all = nearest_sample_planes_batched(
+            jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
+            jnp.round(u1_all), jnp.round(v1_all))
 
     def per_view(R_rel, t_rel, K_inv_src, F, u1, v1c, in1, taps, vd):
         d1 = taps[0]
@@ -586,7 +615,7 @@ def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,
 
 def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
                            rays: jax.Array, nbr_depth: jax.Array,
-                           nbr_normal: jax.Array
+                           nbr_normal: jax.Array, rect=None
                            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Cross-view hypothesis harvesting (ref: OPTDENSE::viewspread,
     DepthMap.cpp:1504-1608): map each pixel into every neighbor view with
@@ -609,9 +638,12 @@ def view_spread_candidates(geom: ViewGeometry, depth: jax.Array,
 
     u1_all, v1_all, z1_all = jax.vmap(fwd_view)(geom.R_rel, geom.t_rel,
                                                 geom.K_src)
-    taps_all, ok_all = nearest_sample_planes_batched(
-        jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
-        u1_all, v1_all)
+    if rect is not None:
+        taps_all, ok_all = _rect_taps(rect, depth)
+    else:
+        taps_all, ok_all = nearest_sample_planes_batched(
+            jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1),
+            u1_all, v1_all)
 
     def per_view(R_rel, t_rel, K_inv_src, u1, v1, z1, taps, ok_d):
         d1 = taps[0]
