@@ -134,10 +134,10 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
             # view-spread: warp the frozen neighbor snapshot into the
             # per-pair rect frames once per external iteration
             # (ops/rect_gather.py)
-            from hcmvs_tpu.ops.rect_gather import build_rect_context
+            from hcmvs_tpu.ops.rect_gather import (build_rect_context,
+                                                   pack_depth_normals)
             rect = build_rect_context(
-                ctx.geom,
-                jnp.concatenate([nbr_depth[:, None], nbr_normal], axis=1))
+                ctx.geom, pack_depth_normals(nbr_depth, nbr_normal))
             ctx = dataclasses.replace(ctx, rect=rect)
 
         def one_iter(s, inj):

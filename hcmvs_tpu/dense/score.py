@@ -521,14 +521,16 @@ def use_rect_backend(cfg: DenseConfig, h: int, w: int) -> bool:
 
 def _rect_taps(rect, depth: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """(V, 4, H, W) neighbor (depth, normal) samples at each pixel's
-    forward projection, via the rect engine; valid = depth tap > 0."""
-    from hcmvs_tpu.ops.rect_gather import rect_lookup, rect_lookup_xla
+    forward projection, via the rect engine; valid = depth tap > 0.
+    The rect maps carry the 2-word packed encoding (pack_depth_normals)."""
+    from hcmvs_tpu.ops.rect_gather import (rect_lookup, rect_lookup_xla,
+                                           unpack_taps)
     sigma = 1.0 / jnp.maximum(depth, 1e-9)
     if jax.default_backend() == "tpu":
         taps = rect_lookup(rect, sigma)
     else:
         taps = rect_lookup_xla(rect, sigma)
-    return taps, taps[:, 0] > 0.0
+    return unpack_taps(taps)
 
 
 def geometric_scores(geom: ViewGeometry, depth: jax.Array, normal: jax.Array,

@@ -242,6 +242,43 @@ def build_rect_context(geom, nbr_maps: jax.Array) -> RectContext:
                        rb=rb.astype(jnp.int32), roff=roff)
 
 
+def pack_depth_normals(nbr_depth: jax.Array,
+                       nbr_normal: jax.Array) -> jax.Array:
+    """(V, H, W) depth + (V, 3, H, W) normals -> (V, 2, H, W) packed.
+
+    Halves the lookup kernel's gather work (its cost is linear in the
+    channel count).  Word 0 carries the depth magnitude with n_z's sign
+    folded into the float sign bit (depth is always > 0 when valid, and
+    0 keeps meaning invalid); word 1 carries (n_x | n_y) as a bf16 pair
+    (<= 0.8% quantization — ~0.5 degrees, below the random-refinement
+    anneal scales and the cos-agreement term's sensitivity)."""
+    w0 = jnp.where(nbr_normal[:, 2] >= 0, -nbr_depth, nbr_depth)
+    ux = jax.lax.bitcast_convert_type(
+        nbr_normal[:, 0].astype(jnp.bfloat16), jnp.uint16)
+    uy = jax.lax.bitcast_convert_type(
+        nbr_normal[:, 1].astype(jnp.bfloat16), jnp.uint16)
+    u32 = (ux.astype(jnp.uint32) << 16) | uy.astype(jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(u32, jnp.float32)
+    return jnp.stack([w0, w1], axis=1)
+
+
+def unpack_taps(taps: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of pack_depth_normals on gathered taps (V, 2, ...):
+    returns ((V, 4, ...) [depth, nx, ny, nz], valid (V, ...))."""
+    w0 = taps[:, 0]
+    w1 = taps[:, 1]
+    d1 = jnp.abs(w0)
+    u32 = jax.lax.bitcast_convert_type(w1, jnp.uint32)
+    nx = jax.lax.bitcast_convert_type(
+        (u32 >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    ny = jax.lax.bitcast_convert_type(
+        (u32 & 0xFFFF).astype(jnp.uint16),
+        jnp.bfloat16).astype(jnp.float32)
+    nz_mag = jnp.sqrt(jnp.maximum(1.0 - nx * nx - ny * ny, 0.0))
+    nz = jnp.where(w0 >= 0, -nz_mag, nz_mag)
+    return jnp.stack([d1, nx, ny, nz], axis=1), d1 > 0.0
+
+
 def _col_bases(ctx: RectContext, icol: jax.Array) -> Tuple[jax.Array,
                                                            jax.Array]:
     """256-col-aligned per-block window bases for this candidate's

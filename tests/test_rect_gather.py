@@ -135,3 +135,32 @@ def test_scene_quality_rect_vs_direct():
         rel = np.abs(d0[ok] - gt[ok]) / gt[ok]
         accs[backend] = (rel < 0.02).mean()
     assert accs["rect"] > accs["direct"] - 0.02, accs
+
+
+def test_pack_unpack_roundtrip():
+    from hcmvs_tpu.ops.rect_gather import pack_depth_normals, unpack_taps
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.uniform(0.5, 5.0, (2, 8, 16)), jnp.float32)
+    n = rng.normal(size=(2, 3, 8, 16))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    n = jnp.asarray(n, jnp.float32)
+    packed = pack_depth_normals(d, n)
+    assert packed.shape == (2, 2, 8, 16)
+    taps, ok = unpack_taps(packed)
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(np.asarray(taps[:, 0]), np.asarray(d),
+                               rtol=0, atol=0)  # depth is exact
+    np.testing.assert_allclose(np.asarray(taps[:, 1]),
+                               np.asarray(n[:, 0]), atol=0.01)
+    np.testing.assert_allclose(np.asarray(taps[:, 2]),
+                               np.asarray(n[:, 1]), atol=0.01)
+    # nz is reconstructed from quantized nx/ny: its error is amplified
+    # by 1/|nz| near the unit circle (d(nz) = (nx dnx + ny dny)/nz) —
+    # harmless for the cos-agreement term, but the test bound must
+    # reflect it
+    np.testing.assert_allclose(np.asarray(taps[:, 3]),
+                               np.asarray(n[:, 2]), atol=0.1)
+    # zero taps (invalid lookups) decode as invalid
+    taps0, ok0 = unpack_taps(jnp.zeros((1, 2, 4, 4)))
+    assert not bool(jnp.any(ok0))
+    assert bool(jnp.all(taps0[:, 0] == 0))
