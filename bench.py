@@ -121,10 +121,12 @@ def worker(n_views, h, w, v_nbr, mode):
     from hcmvs_tpu.dense.scene_driver import (_build_scene_volumes,
                                               phase_cfg)
     from hcmvs_tpu.dense.score import use_volume_tables
+    from hcmvs_tpu.ops.volume import use_rect_volume_build
     t0 = time.perf_counter()
     use_vol = use_volume_tables(cfg)
-    c_vol = (_build_scene_volumes.lower(scene).compile() if use_vol
-             else None)
+    rect_b = use_rect_volume_build(cfg, h, w)
+    c_vol = (_build_scene_volumes.lower(scene, rect_build=rect_b).compile()
+             if use_vol else None)
     scene_v = (dataclasses.replace(scene, vols=c_vol(scene)) if use_vol
                else scene)
     c_photo = scene_sweeps.lower(state, scene_v, phase_cfg(cfg, 0), 0,

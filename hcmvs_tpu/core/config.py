@@ -210,6 +210,19 @@ class DenseConfig:
                                        # fallback for pathological pair
                                        # geometry or non-8/128-aligned
                                        # image sizes).
+    volume_build: str = "auto"         # how the exact-scoring sigma
+                                       # tables are BUILT.  "auto": the
+                                       # rect-frame Pallas kernel on TPU
+                                       # at tile-aligned sizes (the
+                                       # per-plane bilinear-warp build's
+                                       # per-index gathers — 4.5s/stage
+                                       # at 1280x960 — become one
+                                       # once-per-stage rect warp + VMEM
+                                       # lane gathers).  "rect": force
+                                       # (CPU tests use the XLA replica).
+                                       # "planes": the per-plane warp
+                                       # build (ops/volume.py
+                                       # build_view_volume).
 
     @property
     def num_patch_samples(self) -> int:

@@ -200,16 +200,18 @@ def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
                       keys=sts.key)
 
 
-@jax.jit
-def _build_scene_volumes(scene: SceneTensors):
-    from hcmvs_tpu.ops.volume import build_volume_tables
+@partial(jax.jit, static_argnames=("rect_build",))
+def _build_scene_volumes(scene: SceneTensors, rect_build: bool = False):
+    from hcmvs_tpu.ops.volume import (build_volume_tables,
+                                      build_volume_tables_rect)
+    build = build_volume_tables_rect if rect_build else build_volume_tables
 
     def per_view(i):
         cam_i = jax.tree.map(lambda x: x[i], scene.cams)
         cams_nbr = jax.tree.map(lambda x: x[scene.nbr_idx[i]], scene.cams)
         geom = make_view_geometry(cam_i, cams_nbr)
-        return build_volume_tables(geom, scene.gray[scene.nbr_idx[i]],
-                                   scene.d_min[i], scene.d_max[i])
+        return build(geom, scene.gray[scene.nbr_idx[i]],
+                     scene.d_min[i], scene.d_max[i])
 
     return jax.lax.map(per_view, jnp.arange(scene.gray.shape[0]))
 
@@ -218,11 +220,18 @@ def attach_volumes(scene: SceneTensors, cfg: DenseConfig) -> SceneTensors:
     """Build the exact-scoring sigma-volume tables (once per stage — the
     tables depend only on images + geometry + depth range; see
     ops/volume.py).  No-op unless cfg routes exact scoring through them.
+    On TPU at tile-aligned sizes the build runs through the rect-frame
+    kernel (ops/volume.py build_volume_tables_rect); the tables' pixel
+    order then follows to_volume_order, which the scoring consumer keys
+    off the same use_rect_volume_build gate.
     """
     from hcmvs_tpu.dense.score import use_volume_tables
+    from hcmvs_tpu.ops.volume import use_rect_volume_build
     if scene.vols is not None or not use_volume_tables(cfg):
         return scene
-    return dataclasses.replace(scene, vols=_build_scene_volumes(scene))
+    h, w = scene.gray.shape[1:]
+    return dataclasses.replace(scene, vols=_build_scene_volumes(
+        scene, rect_build=use_rect_volume_build(cfg, h, w)))
 
 
 def phase_cfg(cfg: DenseConfig, phase: int,

@@ -375,9 +375,14 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
     from exact bilinear sampling, validated by the volume parity test and
     the ridge golden gate.
     """
-    from hcmvs_tpu.ops.volume import (_CHUNK, volume_lookup,
+    from hcmvs_tpu.ops.volume import (_CHUNK, from_volume_order,
+                                      to_volume_order,
+                                      use_rect_volume_build, volume_lookup,
                                       volume_lookup_xla)
     h, w = depth.shape
+    # the rect-frame build (ops/volume.py) writes tables in tile-major
+    # pixel order; mirror its gate so f2 rows line up with tab rows
+    blocked = use_rect_volume_build(cfg, h, w)
     pad = _pad_of(offsets)
     th_robust = cfg.ncc_threshold_keep * 1.2
     s_count = len(offsets)
@@ -407,8 +412,9 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
     # the sigma grid is shared across views (built from d_min/d_max only)
     f3 = (fwd - vol.sig0[0]) * vol.inv_dsig[0]
     p_pad = vol.tab.shape[1]
-    f2 = jnp.pad(f3.reshape(s_count, h * w).T,
-                 ((0, p_pad - h * w), (0, 0)))        # (P_pad, S)
+    f_flat = (to_volume_order(f3) if blocked
+              else f3.reshape(s_count, h * w))
+    f2 = jnp.pad(f_flat.T, ((0, p_pad - h * w), (0, 0)))  # (P_pad, S)
 
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
 
@@ -419,7 +425,10 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
     def per_view(tab_v, lo_v, hi_v):
         out2 = (volume_lookup(tab_v, f2) if use_pallas
                 else volume_lookup_xla(tab_v, f2))
-        v3 = out2[:h * w].T.reshape(s_count, h, w)
+        if blocked:
+            v3 = from_volume_order(out2[:h * w].T, h, w)
+        else:
+            v3 = out2[:h * w].T.reshape(s_count, h, w)
         ok3 = (fwd >= lo_v[None]) & (fwd <= hi_v[None])
         # consumption shift: center p reads sample row p + delta (zero
         # validity at borders where the sample pixel falls off-image)

@@ -64,10 +64,14 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def rect_frame_shape(h: int, w: int) -> Tuple[int, int]:
+def rect_frame_shape(h: int, w: int,
+                     y_scale: float = 1.0) -> Tuple[int, int]:
     """Static rect-frame size for an (h, w) image: room for the rotated
-    source footprint at >= unit scale for typical pair geometry."""
-    return (_ceil_to(max(int(1.25 * h), BAND_ROWS), ROWS_HALF),
+    source footprint at >= unit scale for typical pair geometry.
+    ``y_scale`` > 1 oversamples the CROSS-epipolar axis (rows) — the
+    volume build uses 2x so its row-lerp does not blur texture across
+    epipolar lines; columns (the matching direction) are unaffected."""
+    return (_ceil_to(max(int(1.25 * h * y_scale), BAND_ROWS), ROWS_HALF),
             _ceil_to(max(int(1.6 * w), WIN_COLS), WIN_COLS))
 
 
@@ -80,7 +84,8 @@ class RectGeometry(NamedTuple):
     scale: jax.Array    # (V,)       rect px per src px (diagnostic)
 
 
-def make_rect_geometry(geom, h: int, w: int) -> RectGeometry:
+def make_rect_geometry(geom, h: int, w: int,
+                       y_scale: float = 1.0) -> RectGeometry:
     """Rectifying rotation + frame fit for every neighbor view.
 
     Q rows: q1 = t_hat (so Q t = |t| e1), q2 perpendicular chosen from
@@ -89,7 +94,12 @@ def make_rect_geometry(geom, h: int, w: int) -> RectGeometry:
     heavily downscaled frame and its lookups mostly fall invalid
     (graceful degradation per the module docstring).
     """
-    h_r, w_r = rect_frame_shape(h, w)
+    h_r, w_r = rect_frame_shape(h, w, y_scale)
+    # all 3x3 products at HIGHEST precision: TPU matmuls default to bf16
+    # inputs, and a 0.4% error on these matrices shifts rect positions by
+    # several pixels at frame scale (measured 0.018 mean table error in
+    # the volume build before this was pinned)
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
     def per_view(R_rel, t_rel, K_inv_src):
         tn = jnp.linalg.norm(t_rel) + 1e-12
@@ -123,7 +133,7 @@ def make_rect_geometry(geom, h: int, w: int) -> RectGeometry:
         corners = jnp.array([[0.0, 0.0, 1.0], [w - 1.0, 0.0, 1.0],
                              [0.0, h - 1.0, 1.0],
                              [w - 1.0, h - 1.0, 1.0]]).T
-        pr = Q @ (K_inv_src @ corners)                 # (3, 4)
+        pr = mm(Q, mm(K_inv_src, corners))             # (3, 4)
         z = jnp.maximum(pr[2], 1e-6)
         cx = pr[0] / z
         cy = pr[1] / z
@@ -131,22 +141,25 @@ def make_rect_geometry(geom, h: int, w: int) -> RectGeometry:
             jnp.abs(K_inv_src[0, 0]) + jnp.abs(K_inv_src[1, 1]), 1e-12)
         s = jnp.minimum(jnp.minimum(
             (w_r - 1.0) / jnp.maximum(cx.max() - cx.min(), 1e-6),
-            (h_r - 1.0) / jnp.maximum(cy.max() - cy.min(), 1e-6)),
+            (h_r - 1.0) / (y_scale
+                           * jnp.maximum(cy.max() - cy.min(), 1e-6))),
             1.5 * f_src)
+        sy = s * y_scale
         K_rect = jnp.array([[1.0, 0.0, 0.0],
                             [0.0, 1.0, 0.0],
                             [0.0, 0.0, 1.0]])
-        K_rect = K_rect.at[0, 0].set(s).at[1, 1].set(s)
+        K_rect = K_rect.at[0, 0].set(s).at[1, 1].set(sy)
         K_rect = K_rect.at[0, 2].set(-s * cx.min())
-        K_rect = K_rect.at[1, 2].set(-s * cy.min())
-        KQ = K_rect @ Q
-        bx = (KQ @ t_rel)[0]
-        H_rs = KQ @ K_inv_src                          # src px -> rect px
+        K_rect = K_rect.at[1, 2].set(-sy * cy.min())
+        KQ = mm(K_rect, Q)
+        bx = mm(KQ, t_rel)[0]
+        H_rs = mm(KQ, K_inv_src)                       # src px -> rect px
         return KQ, bx, jnp.linalg.inv(H_rs), s
 
     KQ, bx, H_sr, s = jax.vmap(per_view)(geom.R_rel, geom.t_rel,
                                          geom.K_inv_src)
-    M = jnp.einsum("vij,vjk,kl->vil", KQ, geom.R_rel, geom.K_inv_ref)
+    M = jnp.einsum("vij,vjk,kl->vil", KQ, geom.R_rel, geom.K_inv_ref,
+                   precision=jax.lax.Precision.HIGHEST)
     return RectGeometry(M=M, bx=bx, H_sr=H_sr, scale=s)
 
 

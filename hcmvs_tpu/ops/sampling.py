@@ -96,6 +96,47 @@ def bilinear_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
     return jnp.where(valid, out, oob_value), valid
 
 
+def bicubic_sample_xy(img: jax.Array, x: jax.Array, y: jax.Array,
+                      oob_value: float = 0.0
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Catmull-Rom resampling with ONE gather per point.
+
+    The 4x4 tap neighborhood is pre-packed into 16 channels (same trick
+    as pack_bilinear_taps — gathers cost per-index, not per-element), so
+    bicubic costs the same index volume as bilinear while preserving the
+    high-frequency texture that bilinear-of-bilinear smears (measured:
+    mean |dtab| of the rect-frame volume build vs the exact build drops
+    from 0.018 to image-noise level — see ops/volume.py).
+    """
+    h, w = img.shape[:2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    valid = (x >= 0) & (y >= 0) & (x <= w - 1) & (y <= h - 1)
+    r = jnp.pad(img, ((1, 2), (1, 2)), mode="edge")
+    packed = jnp.stack([r[dy:dy + h, dx:dx + w].reshape(-1)
+                        for dy in range(4) for dx in range(4)])
+    taps = jnp.take(packed, (y0i * w + x0i).reshape(-1), axis=1)
+    taps = taps.reshape((4, 4) + x.shape)          # [dy, dx, ...]
+
+    def cr_w(t):
+        t2 = t * t
+        t3 = t2 * t
+        return (-0.5 * t + t2 - 0.5 * t3,
+                1.0 - 2.5 * t2 + 1.5 * t3,
+                0.5 * t + 2.0 * t2 - 1.5 * t3,
+                -0.5 * t2 + 0.5 * t3)
+
+    wx = cr_w(fx)
+    wy = cr_w(fy)
+    rows = [sum(wx[j] * taps[i, j] for j in range(4)) for i in range(4)]
+    out = sum(wy[i] * rows[i] for i in range(4))
+    return jnp.where(valid, out, oob_value), valid
+
+
 def pack_bilinear_taps(img: jax.Array) -> jax.Array:
     """(H, W) -> (4, H*W): channel k holds the 2x2-neighborhood tap
     [v00, v01, v10, v11] anchored at each pixel (edge-clamped)."""

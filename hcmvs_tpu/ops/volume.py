@@ -41,6 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # pallas imported at module level for the kernels' program_id
+    from jax.experimental import pallas as pl
+except ImportError:  # pragma: no cover
+    pl = None
+
 from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 D_PLANES = 128          # sigma planes == gather lane count (vreg width)
@@ -151,8 +156,15 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
         (p0y, wv[1]),                                          # v >= 0
         ((hs - 1) * p0z - p0y, (hs - 1) * wv[2] - wv[1]),      # v <= H-1
     )
-    lo = jnp.full((h, w), -jnp.inf)
-    hi = jnp.full((h, w), jnp.inf)
+    lo, hi = _intersect_sigma(cons, (h, w))
+    # shrink by one step: the lerp also reads plane floor(f)+1
+    return tab, lo + dsig, hi - dsig
+
+
+def _intersect_sigma(cons, shape) -> Tuple[jax.Array, jax.Array]:
+    """Intersect linear validity constraints a + b*sigma >= 0."""
+    lo = jnp.full(shape, -jnp.inf)
+    hi = jnp.full(shape, jnp.inf)
     eps = 1e-12
     for a, b in cons:
         root = -a / jnp.where(jnp.abs(b) < eps, eps, b)
@@ -160,8 +172,7 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
         hi = jnp.where(b < -eps, jnp.minimum(hi, root), hi)
         # b ~ 0: constraint is constant; a < 0 -> never valid
         lo = jnp.where((jnp.abs(b) <= eps) & (a < 0), jnp.inf, lo)
-    # shrink by one step: the lerp also reads plane floor(f)+1
-    return tab, lo + dsig, hi - dsig
+    return lo, hi
 
 
 def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int):
@@ -252,3 +263,338 @@ def build_volume_tables(geom, src_grays: jax.Array, d_min: jax.Array,
                         sig0=jnp.broadcast_to(sig0, (v,)),
                         inv_dsig=jnp.broadcast_to(1.0 / dsig, (v,)),
                         sig_lo=lo, sig_hi=hi)
+
+
+# ---------------------------------------------------------------------------
+# Rectified-frame table build (ops/rect_gather.py geometry): the per-plane
+# bilinear-warp build above spends D/2 x H x W per-index gathers per pair
+# (measured 4.5s per stage at 1280x960, charged ~22% of every bench round).
+# In the rect frame every pixel's sigma-segment is a contiguous strided run
+# of ONE row, so the whole table resolves from VMEM windows with lane
+# gathers: the only per-index gather left is the one-time bilinear warp of
+# the source into the rect frame (~2 x H x W per pair, ~30x fewer indices).
+# Pixel order of the resulting tables is TILE-MAJOR (see to_volume_order);
+# the scoring consumer uses the same order when the gate below is on.
+# ---------------------------------------------------------------------------
+
+_RG_ROW_HALVES = 11     # row band: 11 x 8 rows (the build's rect frame
+                        # is 2x vertically oversampled, doubling per-tile
+                        # row spreads vs rect_gather's lookup engine)
+_RG_COL_HALVES = 2      # col window: 2 x 512 cols
+_RG_Y_SCALE = 2.0       # cross-epipolar oversampling (see
+                        # rect_frame_shape) — kills the row-lerp blur
+
+
+def use_rect_volume_build(cfg, h: int, w: int) -> bool:
+    """Whether stage tables are built through the rect-frame kernel."""
+    if h % 8 or w % 128:
+        return False
+    if cfg.volume_build == "rect":
+        return True
+    return (cfg.volume_build == "auto" and cfg.use_pallas
+            and jax.default_backend() == "tpu")
+
+
+def to_volume_order(x: jax.Array) -> jax.Array:
+    """(..., H, W) -> (..., P) in the rect build's pixel order:
+    (8, 128) image tiles in raster order; within a tile, column-major
+    octets (group g = tile column g, its 8 rows in order)."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // 8, 8, w // 128, 128)
+    x = jnp.moveaxis(x, -3, -2)                   # (..., bh, bw, 8, 128)
+    x = jnp.swapaxes(x, -1, -2)                   # (..., bh, bw, 128, 8)
+    return x.reshape(*lead, h * w)
+
+
+def from_volume_order(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Inverse of to_volume_order."""
+    *lead, _ = x.shape
+    x = x.reshape(*lead, h // 8, w // 128, 128, 8)
+    x = jnp.swapaxes(x, -1, -2)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, h, w)
+
+
+def _rect_build_kernel(rb_ref, cb_ref, *refs):
+    """One 8-pixel group (a tile column) x all 128 sigma planes.
+
+    Fields arrive lanes-as-groups (blocks (8, 128): sublane = pixel,
+    lane = group) and this step's group is extracted with a lane gather
+    — Mosaic block shapes must keep their last two dims tile-aligned.
+    Phase A: resolve + vertically lerp each pixel's rect row from the
+    40-row band into ``aligned`` (8, 1024).  Phase B: each pixel's 128
+    plane columns are an arithmetic progression in its aligned row —
+    pack both lerp taps into one 1024-lane take_along_axis.
+    """
+    wins = refs[:_RG_ROW_HALVES * _RG_COL_HALVES]
+    f_row, f_c0, f_k, out_ref = refs[_RG_ROW_HALVES * _RG_COL_HALVES:]
+    g_id = pl.program_id(2)
+    idxg = jnp.full((8, 128), g_id, jnp.int32)
+
+    def pick(ref):   # (8, 128) all-lane-equal broadcast of group g_id
+        return jnp.take_along_axis(ref[0, 0], idxg, axis=1)
+
+    rowf = pick(f_row)
+    c0w = pick(f_c0)
+    kp = pick(f_k)
+    r0 = jnp.floor(rowf)
+    fr = rowf - r0                                        # (8, 128)
+    r0i = r0.astype(jnp.int32)
+
+    def wide(x):     # (8, 128) all-lane-equal -> (8, 1024)
+        return jnp.concatenate([x] * 8, axis=1)
+
+    aligned = jnp.zeros((8, 1024), jnp.float32)
+    for g in range(_RG_ROW_HALVES):
+        wrow = jnp.concatenate(
+            [wins[g * _RG_COL_HALVES][0, 0, 0],
+             wins[g * _RG_COL_HALVES + 1][0, 0, 0]], axis=1)  # (8, 1024)
+        for wgt, ri in ((1.0 - fr, r0i), (fr, r0i + 1)):
+            sel = ((ri >= 8 * g) & (ri < 8 * g + 8)).astype(jnp.float32)
+            t = jnp.take_along_axis(
+                wrow, wide(jnp.clip(ri - 8 * g, 0, 7)), axis=0)
+            aligned = aligned + wide(wgt * sel) * t
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1).astype(
+        jnp.float32)
+    base = c0w + kp * j                                   # window cols
+    i0 = jnp.clip(jnp.floor(base), 0.0, 1022.0)
+    fc = jnp.clip(base - i0, 0.0, 1.0)
+    i0i = i0.astype(jnp.int32)
+    i1i = i0i + 1
+    # Mosaic's lane gather is single-vreg: resolve the 1024-col aligned
+    # row chunk by chunk with per-chunk membership selects
+    t0 = jnp.zeros((8, 128), jnp.float32)
+    t1 = jnp.zeros((8, 128), jnp.float32)
+    for cc in range(8):
+        chunk = aligned[:, cc * 128:cc * 128 + 128]
+        g0 = jnp.take_along_axis(chunk, jnp.clip(i0i - cc * 128, 0, 127),
+                                 axis=1)
+        g1 = jnp.take_along_axis(chunk, jnp.clip(i1i - cc * 128, 0, 127),
+                                 axis=1)
+        t0 = jnp.where(i0i // 128 == cc, g0, t0)
+        t1 = jnp.where(i1i // 128 == cc, g1, t1)
+    out_ref[0, 0, 0] = t0 * (1.0 - fc) + t1 * fc
+
+
+def _rect_build_xla(win_src: jax.Array, rb: jax.Array, cb: jax.Array,
+                    rowf: jax.Array, c0w_t: jax.Array, kp_t: jax.Array
+                    ) -> jax.Array:
+    """Pure-XLA replica of the kernel's exact semantics (CPU/tests).
+
+    ``win_src`` (V, H_r, W_r); fields in group-major (V, T, 128, 8)."""
+    v, t, _, _ = rowf.shape
+    h_r, w_r = win_src.shape[1:]
+    r0 = jnp.floor(rowf)                       # band-relative, like the
+    fr = rowf - r0                             # kernel's f_row input
+    r0b = r0.astype(jnp.int32)
+    in_band0 = (r0b >= 0) & (r0b < 8 * _RG_ROW_HALVES)
+    in_band1 = (r0b + 1 >= 0) & (r0b + 1 < 8 * _RG_ROW_HALVES)
+    band_lo = rb[..., None, None] * 8
+    r0i = jnp.clip(r0b + band_lo, 0, h_r - 1)
+    r1i = jnp.clip(r0b + 1 + band_lo, 0, h_r - 1)
+    j = jnp.arange(128, dtype=jnp.float32)
+    base = (c0w_t[..., None] + kp_t[..., None] * j)         # (V,T,128,8,128)
+    i0 = jnp.clip(jnp.floor(base), 0.0, 1022.0)
+    fc = jnp.clip(base - i0, 0.0, 1.0)
+    ci = i0.astype(jnp.int32) + cb[..., None, None, None] * 512
+    ci0 = jnp.clip(ci, 0, w_r - 1)
+    ci1 = jnp.clip(ci + 1, 0, w_r - 1)
+    flat = win_src.reshape(v, h_r * w_r)
+
+    def fetch(ri, ok_r, cidx):
+        idx = (ri[..., None] * w_r + cidx).reshape(v, -1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+        return vals.reshape(cidx.shape) * ok_r[..., None]
+    v00 = fetch(r0i, in_band0.astype(jnp.float32), ci0)
+    v01 = fetch(r0i, in_band0.astype(jnp.float32), ci1)
+    v10 = fetch(r1i, in_band1.astype(jnp.float32), ci0)
+    v11 = fetch(r1i, in_band1.astype(jnp.float32), ci1)
+    top = v00 * (1 - fc) + v01 * fc
+    bot = v10 * (1 - fc) + v11 * fc
+    return top * (1 - fr[..., None]) + bot * fr[..., None]
+
+
+def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
+                             d_max: jax.Array,
+                             interpret: bool = False) -> VolumeTables:
+    """Rect-frame table build for one reference view (all V pairs).
+
+    Semantics: tab[p, j] = bilerp(rect_src, row(p), col(p, sigma_j))
+    where rect_src is the bilinear warp of the source into the pair's
+    rect frame — a once-per-stage resample replacing the per-plane warp
+    gathers.  The valid-sigma interval additionally intersects the rect
+    band/window coverage, so banding misses are EXACT invalidity, never
+    silent zeros.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from hcmvs_tpu.ops.rect_gather import make_rect_geometry
+    from hcmvs_tpu.ops.sampling import bicubic_sample_xy
+    from hcmvs_tpu.dense.types import mat3_apply
+
+    v, h, w = src_grays.shape
+    sig0, dsig = sigma_grid(d_min, d_max)
+    rg = make_rect_geometry(geom, h, w, y_scale=_RG_Y_SCALE)
+    h_r0, w_r0 = _rect_frame_rounded(h, w)
+    n_bh, n_bw = h // 8, w // 128
+    n_tiles = n_bh * n_bw
+
+    # one-time Catmull-Rom warp into the rect frame (the only gathers
+    # left; bicubic because a bilinear resample followed by the kernel's
+    # bilerp visibly smears high-frequency texture — measured -0.10
+    # ridge depth accuracy)
+    rv, ru = jnp.meshgrid(jnp.arange(h_r0, dtype=jnp.float32),
+                          jnp.arange(w_r0, dtype=jnp.float32),
+                          indexing="ij")
+
+    def warp(H_sr, src):
+        px, py, pz = mat3_apply(H_sr, (ru, rv, jnp.ones_like(ru)))
+        inv = 1.0 / jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
+        # EDGE-CLAMP beyond the src footprint instead of zero-filling:
+        # table entries just inside the valid-sigma border lerp their
+        # rect neighbors, and a zero neighbor would bleed into valid
+        # samples (measured: border rows lost ~0.7 of their intensity).
+        # Validity is governed exactly by the sigma intervals, so
+        # clamped values outside them are never consumed.
+        x = jnp.clip(px * inv, 0.0, w - 1.0)
+        y = jnp.clip(py * inv, 0.0, h - 1.0)
+        out, _ = bicubic_sample_xy(src, jnp.where(pz > 1e-9, x, 0.0),
+                                   jnp.where(pz > 1e-9, y, 0.0))
+        return out
+
+    rect_src = jax.vmap(warp)(rg.H_sr, src_grays)       # (V, H_r, W_r)
+
+    # per-pixel fields
+    pv, pu = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+    def fields(M, bx):
+        ax, ay, az = mat3_apply(M, (pu, pv, jnp.ones_like(pu)))
+        ok = az > 1e-9
+        inv = 1.0 / jnp.where(ok, az, 1.0)
+        rowf = jnp.where(ok, ay * inv, -1e9)
+        c0 = jnp.where(ok, ax * inv, 1e9)
+        k = jnp.where(ok, bx * inv, 0.0)
+        return rowf, c0, k, ok
+
+    rowf, c0, k, az_ok = jax.vmap(fields)(rg.M, rg.bx)
+
+    # per-tile bases (stage-static): centered 40-row band / 1024-col window
+    def blocks(x):
+        return jnp.moveaxis(x.reshape(v, n_bh, 8, n_bw, 128), 2, 3)
+
+    rows_b = blocks(jnp.where(az_ok, rowf, jnp.nan))
+    rmin = jnp.nanmin(rows_b, axis=(-1, -2))
+    rmax = jnp.nanmax(rows_b, axis=(-1, -2))
+    center = jnp.nan_to_num(0.5 * (rmin + rmax), nan=0.0)
+    rb = jnp.clip((center // 8.0).astype(jnp.int32) - _RG_ROW_HALVES // 2,
+                  0, h_r0 // 8 - _RG_ROW_HALVES).reshape(v, n_tiles)
+    cA = blocks(jnp.where(az_ok, c0 + k * sig0, jnp.nan))
+    cB = blocks(jnp.where(az_ok, c0 + k * (sig0 + dsig * (D_PLANES - 1)),
+                          jnp.nan))
+    cmin = jnp.minimum(jnp.nanmin(cA, axis=(-1, -2)),
+                       jnp.nanmin(cB, axis=(-1, -2)))
+    cmax = jnp.maximum(jnp.nanmax(cA, axis=(-1, -2)),
+                       jnp.nanmax(cB, axis=(-1, -2)))
+    ccen = jnp.nan_to_num(0.5 * (cmin + cmax), nan=0.0)
+    cb = jnp.clip((ccen // 512.0).astype(jnp.int32) - 1, 0,
+                  w_r0 // 512 - _RG_COL_HALVES).reshape(v, n_tiles)
+
+    # group-major fields (group g = tile column g): (V, T, 128, 8)
+    def group_major(x):
+        xb = blocks(x)                                # (V, bh, bw, 8, 128)
+        return jnp.swapaxes(xb, -1, -2).reshape(v, n_tiles, 128, 8)
+
+    rb_full = jnp.repeat(rb.reshape(v, n_tiles, 1, 1), 128, axis=2)
+    cb_full = jnp.repeat(cb.reshape(v, n_tiles, 1, 1), 128, axis=2)
+    rowf_g = group_major(rowf) - 8.0 * rb_full
+    c0w_g = (group_major(c0 + k * sig0) - 512.0 * cb_full)
+    kp_g = group_major(k * dsig)
+
+    if interpret or jax.default_backend() != "tpu":
+        tabs = _rect_build_xla(rect_src, rb, cb, rowf_g, c0w_g, kp_g)
+    else:
+        win = rect_src.reshape(v, h_r0 // 8, 8, w_r0 // 512, 512)
+        win = jnp.moveaxis(win, 2, 3)                 # (V, rh, ch, 8, 512)
+
+        def wspec(i_r, i_c):
+            return pl.BlockSpec(
+                (1, 1, 1, 8, 512),
+                lambda vg, tg, gg, rbr, cbr, i_r=i_r, i_c=i_c: (
+                    vg, rbr[vg, tg] + i_r, cbr[vg, tg] + i_c, 0, 0),
+                memory_space=pltpu.VMEM)
+
+        fspec = pl.BlockSpec((1, 1, 8, 128),
+                             lambda vg, tg, gg, rbr, cbr: (vg, tg, 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(v, n_tiles, 128),
+            in_specs=[wspec(i_r, i_c) for i_r in range(_RG_ROW_HALVES)
+                      for i_c in range(_RG_COL_HALVES)]
+            + [fspec, fspec, fspec],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, 8, 128),
+                lambda vg, tg, gg, rbr, cbr: (vg, tg, gg, 0, 0)),
+        )
+        tabs = pl.pallas_call(
+            _rect_build_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((v, n_tiles, 128, 8, 128),
+                                           jnp.float32),
+        )(rb, cb, *([win] * (_RG_ROW_HALVES * _RG_COL_HALVES)),
+          jnp.swapaxes(rowf_g, -1, -2), jnp.swapaxes(c0w_g, -1, -2),
+          jnp.swapaxes(kp_g, -1, -2))
+
+    tab = tabs.reshape(v, n_tiles * 1024, D_PLANES).astype(jnp.bfloat16)
+    p_pad = _round_up(n_tiles * 1024, _CHUNK)
+    tab = jnp.pad(tab, ((0, 0), (0, p_pad - n_tiles * 1024), (0, 0)))
+
+    # exact valid-sigma interval: original src-frame constraints PLUS the
+    # rect frame / band / window coverage, so misses are invalid samples
+    def interval(A, wv, rowf_v, c0_v, k_v, ok_v, rb_v, cb_v):
+        p0x = A[0, 0] * pu + A[0, 1] * pv + A[0, 2]
+        p0y = A[1, 0] * pu + A[1, 1] * pv + A[1, 2]
+        p0z = A[2, 0] * pu + A[2, 1] * pv + A[2, 2]
+        rbf = _expand_tiles(rb_v, n_bh, n_bw).astype(jnp.float32) * 8.0
+        cbf = _expand_tiles(cb_v, n_bh, n_bw).astype(jnp.float32) * 512.0
+        cons = (
+            (p0z, wv[2]),
+            (p0x, wv[0]),
+            ((w - 1) * p0z - p0x, (w - 1) * wv[2] - wv[0]),
+            (p0y, wv[1]),
+            ((h - 1) * p0z - p0y, (h - 1) * wv[2] - wv[1]),
+            # rect col window: 512*cb <= c0 + k*sigma <= 512*cb + 1022
+            (c0_v - cbf, k_v),
+            (cbf + 1022.0 - c0_v, -k_v),
+        )
+        lo, hi = _intersect_sigma(cons, (h, w))
+        # binary validity: behind rect cam, or row outside the band
+        row_ok = (ok_v & (rowf_v >= rbf)
+                  & (rowf_v <= rbf + 8.0 * _RG_ROW_HALVES - 1.0)
+                  & (rowf_v <= h_r0 - 1))
+        lo = jnp.where(row_ok, lo, jnp.inf)
+        return lo + dsig, hi - dsig
+
+    lo, hi = jax.vmap(interval)(geom.A, geom.wv, rowf, c0, k, az_ok, rb,
+                                cb)
+    return VolumeTables(tab=tab,
+                        sig0=jnp.broadcast_to(sig0, (v,)),
+                        inv_dsig=jnp.broadcast_to(1.0 / dsig, (v,)),
+                        sig_lo=lo, sig_hi=hi)
+
+
+def _rect_frame_rounded(h: int, w: int) -> Tuple[int, int]:
+    """rect_gather's frame at the build's vertical oversampling, rounded
+    so its rows/cols block into the 8-row / 512-col windows."""
+    from hcmvs_tpu.ops.rect_gather import rect_frame_shape
+    h_r, w_r = rect_frame_shape(h, w, _RG_Y_SCALE)
+    return _round_up(h_r, 8), _round_up(w_r, 512)
+
+
+def _expand_tiles(x_t: jax.Array, n_bh: int, n_bw: int) -> jax.Array:
+    """(T,) per-tile values -> (H, W) per-pixel broadcast."""
+    x = x_t.reshape(n_bh, n_bw, 1, 1)
+    x = jnp.broadcast_to(x, (n_bh, n_bw, 8, 128))
+    return jnp.moveaxis(x, 2, 1).reshape(n_bh * 8, n_bw * 128)

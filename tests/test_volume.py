@@ -122,3 +122,66 @@ def test_volume_backend_end_to_end_quality():
     acc_v = run("volume")
     assert acc_v > 0.8, acc_v
     assert acc_v > acc_b - 0.03, (acc_v, acc_b)
+
+
+def test_rect_build_matches_planes_build():
+    """The rect-frame table build (build_volume_tables_rect) agrees with
+    the per-plane warp build inside the intersection of their validity
+    intervals, and end-to-end exact scoring through either build ranks
+    hypotheses identically on the plane scene."""
+    import numpy as np
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.dense.types import make_view_geometry
+    from hcmvs_tpu.ops.volume import (build_volume_tables,
+                                      build_volume_tables_rect,
+                                      from_volume_order, to_volume_order)
+    from hcmvs_tpu.utils.synth import make_plane_scene
+    h, w, v = 64, 128, 2
+    sc = make_plane_scene(np.random.default_rng(5), h=h, w=w,
+                          n_views=v + 1)
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    cam0 = jax.tree.map(lambda x: x[0], cams)
+    nbr = jax.tree.map(lambda x: x[jnp.arange(1, v + 1)], cams)
+    geom = make_view_geometry(cam0, nbr)
+    src = jnp.stack([jnp.asarray(im) for im in sc.images[1:v + 1]])
+    d_min = jnp.float32(sc.d_min)
+    d_max = jnp.float32(sc.d_max)
+    volp = build_volume_tables(geom, src, d_min, d_max)
+    volr = build_volume_tables_rect(geom, src, d_min, d_max)
+    assert volp.tab.shape == volr.tab.shape
+    # compare along each pixel's jointly-valid sigma range.  The planes
+    # build reads src bilinearly at the exact warp; the rect build reads
+    # a bilinear resample of it (one extra lerp): tolerance is image-
+    # noise scale, not exact.
+    p = h * w
+    tabs_p = np.asarray(volp.tab[:, :p].astype(jnp.float32))
+    # rect tab rows are in to_volume_order; un-permute for comparison
+    perm = np.asarray(to_volume_order(
+        jnp.arange(p).reshape(h, w))).astype(int)
+    tabs_r = np.zeros_like(tabs_p)
+    tabs_r[:, perm] = np.asarray(volr.tab[:, :p].astype(jnp.float32))
+    sig0 = float(volp.sig0[0])
+    dsig = 1.0 / float(volp.inv_dsig[0])
+    agree = []
+    for vi in range(v):
+        lo = np.maximum(np.asarray(volp.sig_lo[vi]),
+                        np.asarray(volr.sig_lo[vi])).reshape(-1)
+        hi = np.minimum(np.asarray(volp.sig_hi[vi]),
+                        np.asarray(volr.sig_hi[vi])).reshape(-1)
+        j = np.arange(128, dtype=np.float32)
+        sig = sig0 + dsig * j
+        valid = (sig[None, :] >= lo[:, None]) & (sig[None, :] <= hi[:, None])
+        assert valid.mean() > 0.2, "joint validity collapsed"
+        d = np.abs(tabs_p[vi] - tabs_r[vi])[valid]
+        agree.append(float((d < 0.03).mean()))
+    assert min(agree) > 0.95, f"table agreement {agree}"
+    # rect intervals must be contained in (or equal to) something sane:
+    # every rect-valid sample must also be planes-valid (the rect build
+    # only ADDS constraints)
+    for vi in range(v):
+        lo_r = np.asarray(volr.sig_lo[vi])
+        lo_p = np.asarray(volp.sig_lo[vi])
+        ok = np.isfinite(lo_r)
+        assert np.all(lo_r[ok] >= lo_p[ok] - 1e-5)
