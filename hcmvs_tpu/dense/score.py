@@ -414,7 +414,9 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
     p_pad = vol.tab.shape[1]
     f_flat = (to_volume_order(f3) if blocked
               else f3.reshape(s_count, h * w))
-    f2 = jnp.pad(f_flat.T, ((0, p_pad - h * w), (0, 0)))  # (P_pad, S)
+    p_used = f_flat.shape[1]            # tile-padded pixel count when
+    f2 = jnp.pad(f_flat.T,              # blocked (ops/volume.py)
+                 ((0, p_pad - p_used), (0, 0)))        # (P_pad, S)
 
     use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
 
@@ -426,9 +428,9 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
         out2 = (volume_lookup(tab_v, f2) if use_pallas
                 else volume_lookup_xla(tab_v, f2))
         if blocked:
-            v3 = from_volume_order(out2[:h * w].T, h, w)
+            v3 = from_volume_order(out2[:p_used].T, h, w)
         else:
-            v3 = out2[:h * w].T.reshape(s_count, h, w)
+            v3 = out2[:p_used].T.reshape(s_count, h, w)
         ok3 = (fwd >= lo_v[None]) & (fwd <= hi_v[None])
         # consumption shift: center p reads sample row p + delta (zero
         # validity at borders where the sample pixel falls off-image)
@@ -519,9 +521,8 @@ def aggregate_scores(scores: jax.Array, cfg: DenseConfig) -> jax.Array:
 
 def use_rect_backend(cfg: DenseConfig, h: int, w: int) -> bool:
     """Whether neighbor-map lookups route through the rectified-epipolar
-    engine (ops/rect_gather.py).  Requires native-tile-aligned sizes."""
-    if h % 8 or w % 128:
-        return False
+    engine (ops/rect_gather.py; unaligned sizes tile-pad internally)."""
+    del h, w
     if cfg.geo_backend == "rect":
         return True
     return (cfg.geo_backend == "auto" and cfg.use_pallas

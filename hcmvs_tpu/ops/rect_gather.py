@@ -182,17 +182,30 @@ class RectContext(NamedTuple):
         return n_rh * ROWS_HALF, n_ch * COLS_HALF
 
 
-def _to_blocks(x: jax.Array) -> jax.Array:
-    """(..., H, W) -> (..., H/8, W/128, 8, 128) native-tile blocking."""
+def _padded_hw(h: int, w: int) -> Tuple[int, int]:
+    return _ceil_to(h, 8), _ceil_to(w, 128)
+
+
+def _to_blocks(x: jax.Array, pad_value: float = 0.0) -> jax.Array:
+    """(..., H, W) -> (..., H8/8, W128/128, 8, 128) native-tile blocking
+    (unaligned sizes tile-padded with ``pad_value``)."""
     *lead, h, w = x.shape
-    x = x.reshape(*lead, h // 8, 8, w // 128, 128)
+    h8, w128 = _padded_hw(h, w)
+    if (h8, w128) != (h, w):
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, h8 - h), (0, w128 - w)],
+                    constant_values=pad_value)
+    x = x.reshape(*lead, h8 // 8, 8, w128 // 128, 128)
     return jnp.moveaxis(x, -3, -2)
 
 
-def _from_blocks(x: jax.Array) -> jax.Array:
-    """Inverse of _to_blocks."""
+def _from_blocks(x: jax.Array, h: int = 0, w: int = 0) -> jax.Array:
+    """Inverse of _to_blocks (slices off alignment padding when the
+    target size is given)."""
     *lead, nbh, nbw, bh, bw = x.shape
-    return jnp.moveaxis(x, -2, -3).reshape(*lead, nbh * bh, nbw * bw)
+    full = jnp.moveaxis(x, -2, -3).reshape(*lead, nbh * bh, nbw * bw)
+    if h and w:
+        return full[..., :h, :w]
+    return full
 
 
 def build_rect_context(geom, nbr_maps: jax.Array) -> RectContext:
@@ -242,8 +255,9 @@ def build_rect_context(geom, nbr_maps: jax.Array) -> RectContext:
 
     # 8-row-aligned band bases per (8, 128) block, centered between the
     # block's VALID row extremes (one bad pixel must not sink its block;
-    # centering spends the alignment slack evenly on both sides)
-    rows_b = _to_blocks(row_int)                     # (V, nbh, nbw, 8, 128)
+    # centering spends the alignment slack evenly on both sides).
+    # Alignment padding enters as _INVALID so it never moves a window.
+    rows_b = _to_blocks(row_int, _INVALID)           # (V, nbh, nbw, 8, 128)
     valid_b = rows_b < _INVALID
     rmin = jnp.min(jnp.where(valid_b, rows_b, _INVALID), axis=(-1, -2))
     rmax = jnp.max(jnp.where(valid_b, rows_b, 0), axis=(-1, -2))
@@ -298,7 +312,7 @@ def _col_bases(ctx: RectContext, icol: jax.Array) -> Tuple[jax.Array,
     columns (out-of-frame columns excluded so they don't drag the
     window away from the valid pixels)."""
     _, w_r = ctx.frame_shape
-    icol_b = _to_blocks(icol)                        # (V, nbh, nbw, 8, 128)
+    icol_b = _to_blocks(icol, -_INVALID)             # (V, nbh, nbw, 8, 128)
     cmin = jnp.min(jnp.where((icol_b < 0) | (icol_b > w_r - 1),
                              _INVALID, icol_b), axis=(-1, -2))
     cb = jnp.clip(cmin // COLS_HALF, 0, w_r // COLS_HALF - 2)
@@ -357,7 +371,8 @@ def rect_lookup(ctx: RectContext, sigma: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
     v, c, n_rh, n_ch, _, _ = ctx.maps.shape
     _, h, w = ctx.row_int.shape
-    n_bh, n_bw = h // 8, w // 128
+    h8, w128 = _padded_hw(h, w)
+    n_bh, n_bw = h8 // 8, w128 // 128
 
     col = ctx.c0 + ctx.k * sigma[None]
     icol = jnp.round(jnp.clip(col, -2.0 * _INVALID, 2.0 * _INVALID)
@@ -393,7 +408,7 @@ def rect_lookup(ctx: RectContext, sigma: jax.Array,
                                        jnp.float32),
         interpret=interpret,
     )(ctx.rb, cb, *([ctx.maps] * (2 * R_HALVES)), ctx.roff, icol_b)
-    return _from_blocks(out)
+    return _from_blocks(out, h, w)
 
 
 def rect_lookup_xla(ctx: RectContext, sigma: jax.Array) -> jax.Array:
@@ -408,9 +423,9 @@ def rect_lookup_xla(ctx: RectContext, sigma: jax.Array) -> jax.Array:
                      ).astype(jnp.int32)
     cb, _ = _col_bases(ctx, icol)
     cb_full = _from_blocks(jnp.broadcast_to(
-        cb[..., None, None], cb.shape + (8, 128)))
+        cb[..., None, None], cb.shape + (8, 128)), h, w)
     rb_full = _from_blocks(jnp.broadcast_to(
-        ctx.rb[..., None, None], ctx.rb.shape + (8, 128)))
+        ctx.rb[..., None, None], ctx.rb.shape + (8, 128)), h, w)
     iwin = icol - cb_full * COLS_HALF
     roff = ctx.row_int - rb_full * ROWS_HALF
     ok = ((roff >= 0) & (roff < BAND_ROWS) & (iwin >= 0)
@@ -432,11 +447,12 @@ def rect_coverage(ctx: RectContext, sigma: jax.Array) -> jax.Array:
     col = ctx.c0 + ctx.k * sigma[None]
     icol = jnp.round(jnp.clip(col, -2.0 * _INVALID, 2.0 * _INVALID)
                      ).astype(jnp.int32)
+    _, h, w = ctx.row_int.shape
     cb, _ = _col_bases(ctx, icol)
     cb_full = _from_blocks(jnp.broadcast_to(
-        cb[..., None, None], cb.shape + (8, 128)))
+        cb[..., None, None], cb.shape + (8, 128)), h, w)
     rb_full = _from_blocks(jnp.broadcast_to(
-        ctx.rb[..., None, None], ctx.rb.shape + (8, 128)))
+        ctx.rb[..., None, None], ctx.rb.shape + (8, 128)), h, w)
     h_r, w_r = ctx.frame_shape
     in_frame = ((ctx.row_int <= h_r - 1) & (icol >= 0)
                 & (icol <= w_r - 1))

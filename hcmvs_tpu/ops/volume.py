@@ -286,33 +286,44 @@ _RG_Y_SCALE = 2.0       # cross-epipolar oversampling (see
 
 
 def use_rect_volume_build(cfg, h: int, w: int) -> bool:
-    """Whether stage tables are built through the rect-frame kernel."""
-    if h % 8 or w % 128:
-        return False
+    """Whether stage tables are built through the rect-frame kernel
+    (unaligned sizes are tile-padded internally)."""
+    del h, w
     if cfg.volume_build == "rect":
         return True
     return (cfg.volume_build == "auto" and cfg.use_pallas
             and jax.default_backend() == "tpu")
 
 
-def to_volume_order(x: jax.Array) -> jax.Array:
+def padded_hw(h: int, w: int) -> Tuple[int, int]:
+    """Tile-aligned size the rect paths pad unaligned images to."""
+    return _round_up(h, 8), _round_up(w, 128)
+
+
+def to_volume_order(x: jax.Array, pad_value: float = 0.0) -> jax.Array:
     """(..., H, W) -> (..., P) in the rect build's pixel order:
     (8, 128) image tiles in raster order; within a tile, column-major
-    octets (group g = tile column g, its 8 rows in order)."""
+    octets (group g = tile column g, its 8 rows in order).  Unaligned
+    images are zero-padded to the tile grid (P = padded pixel count)."""
     *lead, h, w = x.shape
-    x = x.reshape(*lead, h // 8, 8, w // 128, 128)
+    h8, w128 = padded_hw(h, w)
+    if (h8, w128) != (h, w):
+        x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, h8 - h), (0, w128 - w)],
+                    constant_values=pad_value)
+    x = x.reshape(*lead, h8 // 8, 8, w128 // 128, 128)
     x = jnp.moveaxis(x, -3, -2)                   # (..., bh, bw, 8, 128)
     x = jnp.swapaxes(x, -1, -2)                   # (..., bh, bw, 128, 8)
-    return x.reshape(*lead, h * w)
+    return x.reshape(*lead, h8 * w128)
 
 
 def from_volume_order(x: jax.Array, h: int, w: int) -> jax.Array:
-    """Inverse of to_volume_order."""
+    """Inverse of to_volume_order (drops the alignment padding)."""
     *lead, _ = x.shape
-    x = x.reshape(*lead, h // 8, w // 128, 128, 8)
+    h8, w128 = padded_hw(h, w)
+    x = x.reshape(*lead, h8 // 8, w128 // 128, 128, 8)
     x = jnp.swapaxes(x, -1, -2)
     x = jnp.moveaxis(x, -2, -3)
-    return x.reshape(*lead, h, w)
+    return x.reshape(*lead, h8, w128)[..., :h, :w]
 
 
 def _rect_build_kernel(rb_ref, cb_ref, *refs):
@@ -434,10 +445,11 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
     from hcmvs_tpu.dense.types import mat3_apply
 
     v, h, w = src_grays.shape
+    h8, w128 = padded_hw(h, w)
     sig0, dsig = sigma_grid(d_min, d_max)
     rg = make_rect_geometry(geom, h, w, y_scale=_RG_Y_SCALE)
     h_r0, w_r0 = _rect_frame_rounded(h, w)
-    n_bh, n_bw = h // 8, w // 128
+    n_bh, n_bw = h8 // 8, w128 // 128
     n_tiles = n_bh * n_bw
 
     # one-time Catmull-Rom warp into the rect frame (the only gathers
@@ -480,8 +492,12 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
 
     rowf, c0, k, az_ok = jax.vmap(fields)(rg.M, rg.bx)
 
-    # per-tile bases (stage-static): centered 40-row band / 1024-col window
-    def blocks(x):
+    # per-tile bases (stage-static): centered band / 1024-col window.
+    # Alignment padding enters as NaN so it never moves a tile's window.
+    def blocks(x, pad_value=jnp.nan):
+        if (h8, w128) != (h, w):
+            x = jnp.pad(x, ((0, 0), (0, h8 - h), (0, w128 - w)),
+                        constant_values=pad_value)
         return jnp.moveaxis(x.reshape(v, n_bh, 8, n_bw, 128), 2, 3)
 
     rows_b = blocks(jnp.where(az_ok, rowf, jnp.nan))
@@ -501,16 +517,19 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
     cb = jnp.clip((ccen // 512.0).astype(jnp.int32) - 1, 0,
                   w_r0 // 512 - _RG_COL_HALVES).reshape(v, n_tiles)
 
-    # group-major fields (group g = tile column g): (V, T, 128, 8)
-    def group_major(x):
-        xb = blocks(x)                                # (V, bh, bw, 8, 128)
+    # group-major fields (group g = tile column g): (V, T, 128, 8);
+    # padded pixels carry the invalid-row sentinel so the kernel zeros
+    # their rows (their table entries are never consumed — the scoring
+    # consumer pads/unpads with the same to_volume_order layout)
+    def group_major(x, pad_value):
+        xb = blocks(x, pad_value)                     # (V, bh, bw, 8, 128)
         return jnp.swapaxes(xb, -1, -2).reshape(v, n_tiles, 128, 8)
 
     rb_full = jnp.repeat(rb.reshape(v, n_tiles, 1, 1), 128, axis=2)
     cb_full = jnp.repeat(cb.reshape(v, n_tiles, 1, 1), 128, axis=2)
-    rowf_g = group_major(rowf) - 8.0 * rb_full
-    c0w_g = (group_major(c0 + k * sig0) - 512.0 * cb_full)
-    kp_g = group_major(k * dsig)
+    rowf_g = group_major(rowf, -1e9) - 8.0 * rb_full
+    c0w_g = (group_major(c0 + k * sig0, 0.0) - 512.0 * cb_full)
+    kp_g = group_major(k * dsig, 0.0)
 
     if interpret or jax.default_backend() != "tpu":
         tabs = _rect_build_xla(rect_src, rb, cb, rowf_g, c0w_g, kp_g)
@@ -557,8 +576,10 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
         p0x = A[0, 0] * pu + A[0, 1] * pv + A[0, 2]
         p0y = A[1, 0] * pu + A[1, 1] * pv + A[1, 2]
         p0z = A[2, 0] * pu + A[2, 1] * pv + A[2, 2]
-        rbf = _expand_tiles(rb_v, n_bh, n_bw).astype(jnp.float32) * 8.0
-        cbf = _expand_tiles(cb_v, n_bh, n_bw).astype(jnp.float32) * 512.0
+        rbf = _expand_tiles(rb_v, n_bh, n_bw)[:h, :w].astype(
+            jnp.float32) * 8.0
+        cbf = _expand_tiles(cb_v, n_bh, n_bw)[:h, :w].astype(
+            jnp.float32) * 512.0
         cons = (
             (p0z, wv[2]),
             (p0x, wv[0]),

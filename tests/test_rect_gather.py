@@ -164,3 +164,26 @@ def test_pack_unpack_roundtrip():
     taps0, ok0 = unpack_taps(jnp.zeros((1, 2, 4, 4)))
     assert not bool(jnp.any(ok0))
     assert bool(jnp.all(taps0[:, 0] == 0))
+
+
+def test_rect_lookup_unaligned_size():
+    """Unaligned sizes (60x96 -> padded 64x128) tile-pad internally:
+    kernel (interpret) == XLA replica, values valid in the real region."""
+    sc = make_plane_scene(np.random.default_rng(7), h=60, w=96,
+                          n_views=3)
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    cam0 = jax.tree.map(lambda x: x[0], cams)
+    nbr = jax.tree.map(lambda x: x[jnp.arange(1, 3)], cams)
+    geom = make_view_geometry(cam0, nbr)
+    base = 0.5 * (sc.d_min + sc.d_max)
+    nbr_maps = jnp.full((2, 4, 60, 96), base, jnp.float32)
+    ctx = build_rect_context(geom, nbr_maps)
+    sigma = jnp.full((60, 96), 1.0 / base, jnp.float32)
+    ref = rect_lookup_xla(ctx, sigma)
+    out = rect_lookup(ctx, sigma, interpret=True)
+    assert out.shape == (2, 4, 60, 96)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0)
+    assert float((np.asarray(out)[:, 0] > 0).mean()) > 0.5
