@@ -179,7 +179,10 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     from hcmvs_tpu.dense.scene_driver import (attach_volumes,
                                               compute_scene_priors,
                                               optimize_maps, phase_cfg)
-    tensors = attach_volumes(tensors, cfg)
+    from hcmvs_tpu.utils.profiling import stage_timer
+    with stage_timer("stage.attach_volumes", block_on=lambda: tensors.vols,
+                     log=verbose):
+        tensors = attach_volumes(tensors, cfg)
     n_ext = cfg.estimation_iters_external
     priors_done = False
     for it_ext in range(n_ext):
@@ -189,17 +192,21 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
             # superpixel/semantic RANSAC planes replace the (cross-scale)
             # bootstrap prior for the final iterations, mirroring the
             # reference's GenerateFinalPrior overwrite of depthMapPrior
-            tensors = compute_scene_priors(
-                state, dataclasses.replace(tensors, prior_depth=None))
+            with stage_timer("stage.priors", log=verbose):
+                tensors = compute_scene_priors(
+                    state, dataclasses.replace(tensors, prior_depth=None))
             priors_done = True
         inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
                   and tensors.inject_depth is not None)
-        state = scene_sweeps(state, tensors,
-                             phase_cfg(cfg, phase, it_ext == n_ext - 1),
-                             phase, cfg.estimation_iters, phase >= 1,
-                             inject=inject)
+        with stage_timer("stage.sweeps", block_on=lambda: state.depth,
+                         log=verbose):
+            state = scene_sweeps(state, tensors,
+                                 phase_cfg(cfg, phase, it_ext == n_ext - 1),
+                                 phase, cfg.estimation_iters, phase >= 1,
+                                 inject=inject)
         if cfg.optimize and it_ext in (1, 2):
-            state = optimize_maps(state, tensors, cfg)
+            with stage_timer("stage.optimize", log=verbose):
+                state = optimize_maps(state, tensors, cfg)
     return state
 
 

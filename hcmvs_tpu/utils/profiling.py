@@ -70,7 +70,8 @@ def stage_timer(name: str, block_on=None, log: bool = False):
     finally:
         if block_on is not None:
             import jax
-            jax.block_until_ready(block_on)
+            jax.block_until_ready(block_on() if callable(block_on)
+                                  else block_on)
         dt = time.perf_counter() - t0
         s = _STAGES[name]
         s["total_s"] += dt

@@ -46,14 +46,23 @@ def _tiny_scene(n_views=8, h=32, w=48):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.parametrize("n_view,n_tile", [(8, 1), (4, 2)])
-def test_sharded_sweeps_match_single_device(n_view, n_tile):
-    """scene_sweeps under a (view, tile) mesh == unsharded execution."""
+@pytest.mark.parametrize("n_view,n_tile,backends",
+                         [(8, 1, "direct"), (4, 2, "direct"),
+                          (8, 1, "rect")])
+def test_sharded_sweeps_match_single_device(n_view, n_tile, backends):
+    """scene_sweeps under a (view, tile) mesh == unsharded execution.
+
+    The "rect" variant forces the rectified-epipolar geo backend and the
+    rect-frame volume build (their XLA replicas on CPU) so GSPMD
+    partitioning of the blocked/padded rect layouts is exercised too."""
     scene = _tiny_scene()
     cfg = DenseConfig(adapt_half_window=3, patch_half_window=3,
                       patch_step=2, estimation_iters=1, random_iters=1,
                       use_optical_flow=0, use_geo_consistency=1,
                       use_part_consistency=0)
+    if backends == "rect":
+        cfg = cfg.replace(geo_backend="rect", volume_build="rect",
+                          exact_backend="volume")
     state0 = init_scene_state(jax.random.PRNGKey(0), scene)
 
     ref = scene_sweeps(state0, scene, cfg, 0, 1, False)
