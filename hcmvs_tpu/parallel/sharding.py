@@ -133,8 +133,6 @@ def shard_ba(problem, state, mesh: Mesh):
     pts = NamedSharding(mesh, P(("view", "tile"), None))
     p_spec = BAProblem(
         K=repl, obs_cam=obs, obs_pt=obs, obs_uv=obs2, obs_valid=obs,
-        pt_table=NamedSharding(mesh, P(("view", "tile"), None)),
-        pt_table_valid=NamedSharding(mesh, P(("view", "tile"), None)),
         fixed_cams=repl)
     s_spec = BAState(rvecs=repl, tvecs=repl, points=pts)
     problem = jax.tree.map(jax.device_put, problem, p_spec)

@@ -1,20 +1,25 @@
-"""Bundle adjustment: Gauss-Newton / LM with an explicit Schur complement.
+"""Bundle adjustment: LM with a matrix-free Schur complement + PCG.
 
 Replaces the incremental BA inside OpenMVG (ref: MvgMvsPipeline.py:190-192
 openMVG_main_IncrementalSfM, which uses Ceres on CPU).  TPU-first shape:
 
 - Per-observation reprojection Jacobians come from ``jax.jacfwd`` of the
-  single-observation residual, vmapped over all observations at once.
-- The point blocks (3x3) are eliminated analytically; their contributions
-  to the reduced camera system are accumulated with ``segment_sum`` /
-  scatter-adds over a statically-padded per-point observation table — the
-  distributed version replaces these with ``psum`` over point shards
-  (SURVEY §2.3).
-- The reduced (6C x 6C) system is solved densely with Cholesky: camera
-  counts are tiny next to point counts, exactly why Schur wins.
+  single-observation residual, vmapped over all observations at once —
+  everything is O(M) in the observation count, no per-point tables, no
+  observation truncation.
+- The point blocks (3x3) are eliminated analytically.  The reduced camera
+  system S = U + lam*diag - W V^-1 W^T is NEVER materialized: S @ x is
+  three segment-sum passes over the observations (camera-gather ->
+  point-reduce -> camera-reduce), so memory stays O(M + P + C) at any
+  scale.  Under a sharded mesh the segment sums become psums over
+  observation shards — the distributed Schur complement (SURVEY §2.3).
+- The reduced system is solved with block-Jacobi-preconditioned CG on the
+  matrix-free operator (Ceres' ITERATIVE_SCHUR + SCHUR_JACOBI analog).
+  Small problems (C <= 24) instead materialize S by applying the operator
+  to the 6C identity basis and solve directly — exact, still O(M) memory.
 
 All shapes are static: observations are padded to M slots with a validity
-mask, per-point tables to T observations per point.
+mask.
 """
 
 from __future__ import annotations
@@ -46,13 +51,40 @@ def rodrigues(rvec: jax.Array) -> jax.Array:
 
 
 def rotation_to_rvec(R: np.ndarray) -> np.ndarray:
-    """Host-side inverse Rodrigues."""
+    """Host-side inverse Rodrigues (stable across the full angle range).
+
+    The antisymmetric-part formula divides by sin(theta) and collapses
+    near theta = pi (half-turns — e.g. cameras on the far side of an
+    orbit); there the axis comes from the dominant column of R + I
+    instead, with signs disambiguated by the antisymmetric part.
+    """
     cos_t = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
     theta = np.arccos(cos_t)
     if theta < 1e-8:
         return np.zeros(3)
-    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
-                     R[1, 0] - R[0, 1]]) / (2.0 * np.sin(theta))
+    anti = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]])
+    na = np.linalg.norm(anti)
+    # branch on cos_t, NOT theta: arccos amplifies float noise near -1,
+    # so a theta test can route a true half-turn into the sin branch
+    # (where anti ~ 0 silently yields rvec ~ 0)
+    if cos_t > -0.999:
+        # anti = 2 sin(t) * axis: direction is robust; NORMALIZE rather
+        # than divide by sin(theta) (theta noise inflates the norm)
+        return anti / na * theta
+    # near pi: R + I = (1 + cos t) I + (1 - cos t) a a^T -> columns are
+    # ~parallel to the axis; take the largest diagonal for conditioning,
+    # and recover theta from |anti| = 2 sin(t) (arcsin is well-behaved
+    # where arccos is not)
+    A = R + np.eye(3)
+    k = int(np.argmax(np.diag(A)))
+    axis = A[:, k]
+    axis = axis / np.linalg.norm(axis)
+    # sign: slightly below pi the antisymmetric part is still 2 sin(t) a
+    # — align with it (at exactly pi either sign is valid)
+    if np.dot(axis, anti) < 0:
+        axis = -axis
+    theta = np.pi - np.arcsin(np.clip(na / 2.0, 0.0, 1.0))
     return axis * theta
 
 
@@ -64,8 +96,6 @@ class BAProblem(NamedTuple):
     obs_pt: jax.Array       # (M,) int32
     obs_uv: jax.Array       # (M, 2)
     obs_valid: jax.Array    # (M,) bool
-    pt_table: jax.Array     # (P, T) int32 indices into obs arrays
-    pt_table_valid: jax.Array  # (P, T) bool
     fixed_cams: jax.Array   # (C,) bool — gauge fixing
 
 
@@ -76,29 +106,17 @@ class BAState(NamedTuple):
 
 
 def build_problem(K, obs_cam, obs_pt, obs_uv, n_points,
-                  fixed_cams, max_obs_per_point: int = 16) -> BAProblem:
-    """Host-side assembly of the padded observation tables."""
+                  fixed_cams) -> BAProblem:
+    """Host-side assembly (``n_points`` fixes the point-state size)."""
+    del n_points
     obs_cam = np.asarray(obs_cam, np.int32)
     obs_pt = np.asarray(obs_pt, np.int32)
     obs_uv = np.asarray(obs_uv, np.float32)
-    m = len(obs_cam)
-    T = max_obs_per_point
-    pt_table = np.zeros((n_points, T), np.int32)
-    pt_valid = np.zeros((n_points, T), bool)
-    counts = np.zeros(n_points, np.int32)
-    for o in range(m):
-        j = obs_pt[o]
-        if counts[j] < T:
-            pt_table[j, counts[j]] = o
-            pt_valid[j, counts[j]] = True
-            counts[j] += 1
     return BAProblem(
         K=jnp.asarray(K, jnp.float32),
         obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
         obs_uv=jnp.asarray(obs_uv),
-        obs_valid=jnp.ones(m, bool),
-        pt_table=jnp.asarray(pt_table),
-        pt_table_valid=jnp.asarray(pt_valid),
+        obs_valid=jnp.ones(len(obs_cam), bool),
         fixed_cams=jnp.asarray(np.asarray(fixed_cams, bool)))
 
 
@@ -131,12 +149,21 @@ def ba_cost(problem: BAProblem, state: BAState,
     return jnp.sum(rho * problem.obs_valid)
 
 
-@partial(jax.jit, static_argnames=("huber_delta",))
+@partial(jax.jit, static_argnames=("huber_delta", "solver", "cg_iters"))
 def ba_step(problem: BAProblem, state: BAState, lam: jax.Array,
-            huber_delta: float = 4.0) -> BAState:
-    """One damped Gauss-Newton step via Schur elimination of the points."""
+            huber_delta: float = 4.0, solver: str = "auto",
+            cg_iters: int = 0) -> BAState:
+    """One damped Gauss-Newton step via Schur elimination of the points.
+
+    ``solver``: "cg" = block-Jacobi-preconditioned CG on the matrix-free
+    reduced operator (scales to hundreds of cameras / millions of
+    observations); "dense" = materialize S through the operator and solve
+    exactly (small problems); "auto" = dense when 6C <= 144 else cg.
+    """
     C = state.rvecs.shape[0]
     P = state.points.shape[0]
+    if solver == "auto":
+        solver = "dense" if C <= 24 else "cg"
 
     def res_jac(o_cam, o_pt, o_uv):
         def f(cam6, X):
@@ -173,45 +200,58 @@ def ba_step(problem: BAProblem, state: BAState, lam: jax.Array,
     V = V + lam * jax.vmap(jnp.diag)(diagV)
     V_inv = jnp.linalg.inv(V + 1e-9 * jnp.eye(3)[None])
 
-    # Schur: S = U + lam*diag - sum_j W_aj V_j^-1 W_bj^T
-    tbl = problem.pt_table                              # (P, T)
-    tblv = problem.pt_table_valid
-    W_j = Wm[tbl] * tblv[..., None, None]               # (P, T, 6, 3)
-    cam_j = problem.obs_cam[tbl]                        # (P, T)
-    WV = jnp.einsum("ptij,pjk->ptik", W_j, V_inv)       # (P, T, 6, 3)
-    # pairwise contributions (P, T, T, 6, 6)
-    contrib = jnp.einsum("ptik,pskj->ptsij", WV,
-                         jnp.swapaxes(W_j, -1, -2))
-    S = jnp.zeros((C, C, 6, 6))
-    S = S.at[cam_j[:, :, None], cam_j[:, None, :]].add(-contrib)
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
-    # LM damping on the camera blocks
-    diagU = jax.vmap(jnp.diag)(U)
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(
-        lam * jax.vmap(jnp.diag)(jnp.maximum(diagU, 1e-6)))
-    # fixed cameras: identity rows
-    eye6 = jnp.eye(6)
+    # LM-damped camera blocks; fixed cameras become identity rows
     fixed = problem.fixed_cams
-    S = jnp.where(fixed[:, None, None, None], 0.0, S)
-    S = jnp.where(fixed[None, :, None, None], 0.0, S)
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(
-        fixed[:, None, None] * eye6[None])
+    diagU = jax.vmap(jnp.diag)(U)
+    U_damp = U + lam * jax.vmap(jnp.diag)(jnp.maximum(diagU, 1e-6))
 
-    # rhs_c' = bc - sum_j W V^-1 bp
-    rhs_red = jnp.einsum("ptik,pk->pti", WV, bp)        # (P, T, 6)
-    rhs_c = bc.at[cam_j.reshape(-1)].add(
-        -rhs_red.reshape(-1, 6) * tblv.reshape(-1)[:, None])
+    obs_cam, obs_pt = problem.obs_cam, problem.obs_pt
+
+    def schur_apply(x):                                 # x (C, 6) -> (C, 6)
+        """S @ x matrix-free: S = U' - W V^-1 W^T with identity rows for
+        fixed cameras.  Three O(M) passes; a camera never observes a point
+        twice, so no same-pair corrections are needed."""
+        x_free = jnp.where(fixed[:, None], 0.0, x)
+        ux = jnp.einsum("cij,cj->ci", U_damp, x_free)
+        y = jnp.einsum("mij,mi->mj", Wm, x_free[obs_cam])      # (M, 3)
+        s = jax.ops.segment_sum(y, obs_pt, P)                   # (P, 3)
+        z = jnp.einsum("pij,pj->pi", V_inv, s)                  # (P, 3)
+        back = jax.ops.segment_sum(
+            jnp.einsum("mij,mj->mi", Wm, z[obs_pt]), obs_cam, C)
+        out = ux - back
+        return jnp.where(fixed[:, None], x, out)
+
+    # rhs_c' = bc - sum_m W_m (V^-1 bp)[pt_m]
+    vb = jnp.einsum("pij,pj->pi", V_inv, bp)            # (P, 3)
+    rhs_c = bc - jax.ops.segment_sum(
+        jnp.einsum("mij,mj->mi", Wm, vb[obs_pt]), obs_cam, C)
     rhs_c = jnp.where(fixed[:, None], 0.0, rhs_c)
 
-    # dense solve of the reduced system
-    Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(6 * C, 6 * C)
-    dc = jnp.linalg.solve(Sd + 1e-9 * jnp.eye(6 * C),
-                          rhs_c.reshape(-1)).reshape(C, 6)
+    if solver == "dense":
+        # exact: materialize S by applying the operator to the 6C basis
+        basis = jnp.eye(6 * C).reshape(6 * C, C, 6)
+        Sd = jax.vmap(schur_apply)(basis).reshape(6 * C, 6 * C).T
+        dc = jnp.linalg.solve(Sd + 1e-9 * jnp.eye(6 * C),
+                              rhs_c.reshape(-1)).reshape(C, 6)
+    else:
+        # block-Jacobi preconditioner: diag blocks of S are
+        # U' - sum_{m in c} W_m V^-1 W_m^T (each point seen once per cam)
+        WVW = jnp.einsum("mij,mjk,mlk->mil", Wm, V_inv[obs_pt], Wm)
+        D = U_damp - jax.ops.segment_sum(WVW, obs_cam, C)   # (C, 6, 6)
+        D = jnp.where(fixed[:, None, None], jnp.eye(6)[None], D)
+        D_inv = jnp.linalg.inv(D + 1e-8 * jnp.eye(6)[None])
+
+        def precond(x):
+            return jnp.einsum("cij,cj->ci", D_inv, x)
+
+        n_cg = cg_iters if cg_iters else min(10 * 6, 6 * C)
+        dc, _ = jax.scipy.sparse.linalg.cg(
+            schur_apply, rhs_c, M=precond, tol=1e-6, maxiter=n_cg)
 
     # back-substitute points: dp_j = V^-1 (bp - sum_i W_ij^T dc_i)
-    dc_obs = dc[problem.obs_cam]                        # (M, 6)
+    dc_obs = dc[obs_cam]                                # (M, 6)
     Wt_dc = jnp.einsum("mij,mi->mj", Wm, dc_obs)        # (M, 3)
-    acc = jax.ops.segment_sum(Wt_dc, problem.obs_pt, P)
+    acc = jax.ops.segment_sum(Wt_dc, obs_pt, P)
     dp = jnp.einsum("pij,pj->pi", V_inv, bp - acc)
 
     return BAState(rvecs=state.rvecs + dc[:, :3],

@@ -163,6 +163,30 @@ def test_bundle_adjustment_converges():
     assert t_err.max() < 0.02
 
 
+def test_bundle_adjustment_cg_scales():
+    """The matrix-free PCG Schur solver (solver="cg", forced) on a
+    problem too big for dense assembly habits: 64 cams / 20k points /
+    100k observations with NO per-point truncation, converging to the
+    0.5px noise floor (ref analog: Ceres ITERATIVE_SCHUR inside
+    openMVG_main_IncrementalSfM, MvgMvsPipeline.py:190-192)."""
+    from hcmvs_tpu.eval.ba_bench import make_problem
+    from hcmvs_tpu.sfm.ba import ba_cost, ba_step
+    problem, state, m = make_problem(n_cams=64, n_pts=20_000,
+                                     init_pt_noise=0.01)
+    cost0 = float(ba_cost(problem, state))
+    lam = 1e-3
+    cost = cost0
+    for _ in range(10):
+        trial = ba_step(problem, state, jnp.float32(lam), solver="cg")
+        c = float(ba_cost(problem, trial))
+        if c < cost:
+            state, cost, lam = trial, c, max(lam * 0.5, 1e-8)
+        else:
+            lam = min(lam * 4.0, 1e4)
+    rms = np.sqrt(cost / m)
+    assert rms < 1.0, (np.sqrt(cost0 / m), rms)
+
+
 def test_rodrigues_roundtrip():
     rng = np.random.default_rng(4)
     for _ in range(5):
