@@ -62,6 +62,40 @@ def resize_image(img: np.ndarray, scale: float) -> np.ndarray:
     return cv2.resize(img, (new_w, new_h), interpolation=interp)
 
 
+def load_semantic_mask(path: str) -> np.ndarray:
+    """Load a semantic-segmentation mask as an (H, W) int32 label map.
+
+    The reference consumes per-image mask files named by Image::maskName
+    (ref: frame_main/libs/MVS/Image.h:75-99, used by GenerateDepthPrior
+    SceneDensify.cpp:1550-1950; the final hierarchy stage runs
+    --use-semantic 1 — data/frame_main/resize1/run.py).  Accepted
+    encodings: 8/16-bit single-channel label images, or color-coded masks
+    (each distinct color becomes one label).
+    """
+    raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if raw is None:
+        raise FileNotFoundError(path)
+    if raw.ndim == 2:
+        return raw.astype(np.int32)
+    # color-coded: map distinct colors to dense label ids (deterministic
+    # by color value so every view of the same legend agrees)
+    flat = raw.reshape(-1, raw.shape[2]).astype(np.int64)
+    code = flat[:, 0]
+    for c in range(1, raw.shape[2]):
+        code = code * 256 + flat[:, c]
+    _, labels = np.unique(code, return_inverse=True)
+    return labels.reshape(raw.shape[:2]).astype(np.int32)
+
+
+def resize_mask(mask: np.ndarray, shape_hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize for label maps (labels must not blend)."""
+    h, w = shape_hw
+    if mask.shape == (h, w):
+        return mask
+    return cv2.resize(mask.astype(np.int32), (w, h),
+                      interpolation=cv2.INTER_NEAREST)
+
+
 def build_pyramid(img: np.ndarray, levels: int) -> List[np.ndarray]:
     """Half-resolution pyramid, level 0 = input."""
     pyr = [img]

@@ -33,9 +33,60 @@ from hcmvs_tpu.io.mvs import SceneMVS, read_mvs, write_mvs
 from hcmvs_tpu.io.ply import write_ply_points
 
 
+def find_scene_masks(scene: SceneMVS, images_dir: str,
+                     masks_dir: Optional[str] = None
+                     ) -> Optional[List[Optional[str]]]:
+    """Resolve per-image semantic-mask file paths (or None).
+
+    Order per image (ref: Image::maskName, frame_main/libs/MVS/
+    Image.h:75-99 — the reference records the mask path in the scene):
+    1. the scene's recorded ``mask_name`` (absolute, or relative to
+       ``images_dir``);
+    2. ``<masks_dir>/<image-stem>.png`` (any extension) when a masks dir
+       is given;
+    3. ``<image-stem>.mask.png`` next to the image.
+    Returns None when no image has a mask (the SLIC self-prior path).
+    """
+    exts = (".png", ".pgm", ".tif", ".tiff", ".bmp", ".jpg")
+    paths: List[Optional[str]] = []
+    for im in scene.images:
+        stem = os.path.splitext(os.path.basename(im.name))[0]
+        cand: List[str] = []
+        if getattr(im, "mask_name", ""):
+            m = im.mask_name
+            cand.append(m if os.path.isabs(m)
+                        else os.path.join(images_dir, os.path.basename(m)))
+        if masks_dir:
+            cand += [os.path.join(masks_dir, stem + e) for e in exts]
+            cand.append(os.path.join(masks_dir, os.path.basename(im.name)))
+        cand.append(os.path.join(images_dir, stem + ".mask.png"))
+        paths.append(next((c for c in cand if os.path.exists(c)), None))
+    return paths if any(p is not None for p in paths) else None
+
+
+def load_scene_masks(mask_paths: List[Optional[str]],
+                     shape_hw) -> np.ndarray:
+    """Load + nearest-resize masks to the working resolution, remapping
+    labels to one dense scene-wide id space ((N, H, W) int32; images with
+    no mask get a single all-zero region)."""
+    from hcmvs_tpu.io.images import load_semantic_mask, resize_mask
+    masks = []
+    for p in mask_paths:
+        if p is None:
+            masks.append(np.zeros(shape_hw, np.int32))
+        else:
+            masks.append(resize_mask(load_semantic_mask(p), shape_hw))
+    # shared label space: identical raw ids mean the same class across
+    # views (the usual segmentation-export convention), so remap jointly
+    stack = np.stack(masks)
+    _, inv = np.unique(stack, return_inverse=True)
+    return inv.reshape(stack.shape).astype(np.int32)
+
+
 def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
                         cfg: DenseConfig,
-                        flows: Optional[np.ndarray] = None
+                        flows: Optional[np.ndarray] = None,
+                        semantic: Optional[np.ndarray] = None
                         ) -> SceneTensors:
     """Assemble device tensors from a host scene (uniform image sizes)."""
     n = len(scene.images)
@@ -79,14 +130,16 @@ def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
         d_min=jnp.asarray(d_ranges[:, 0], jnp.float32),
         d_max=jnp.asarray(d_ranges[:, 1], jnp.float32),
         seed_depth=jnp.asarray(seeds),
-        flows=None if flows is None else jnp.asarray(flows))
+        flows=None if flows is None else jnp.asarray(flows),
+        semantic=None if semantic is None else jnp.asarray(semantic))
 
 
 def densify(scene_path: str, images_dir: str, out_dir: str,
             cfg: Optional[DenseConfig] = None,
             init_state_maps=None, verbose: bool = True,
             resume: bool = True,
-            filter_point_cloud: Optional[int] = None) -> Dict:
+            filter_point_cloud: Optional[int] = None,
+            masks_dir: Optional[str] = None) -> Dict:
     """Full densification of a `.mvs` scene; returns summary stats.
 
     ``resume``: when every per-view ``depth%04d.dmap`` already exists in
@@ -137,7 +190,18 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
         nbr_idx, _ = select_neighbors(score, 1)
         flows = scene_flows(np.stack(grays), nbr_idx)
 
-    tensors = build_scene_tensors(scene, grays, cfg, flows)
+    semantic = None
+    if cfg.use_semantic:
+        mask_paths = find_scene_masks(scene, images_dir, masks_dir)
+        if mask_paths is not None:
+            semantic = load_scene_masks(mask_paths, (h, w))
+            if verbose:
+                n_found = sum(p is not None for p in mask_paths)
+                print(f"[densify] semantic masks: {n_found}/{n} images, "
+                      f"{int(semantic.max()) + 1} labels")
+
+    tensors = build_scene_tensors(scene, grays, cfg, flows,
+                                  semantic=semantic)
     dmap_dir = os.path.join(out_dir, "depthmap")
     dmap_path = lambda i: os.path.join(dmap_dir, f"depth{i:04d}.dmap")  # noqa: E731
     t0 = time.time()
@@ -253,6 +317,11 @@ def main(argv=None):
                          "values, e.g. -1)")
     ap.add_argument("--no-resume", action="store_true",
                     help="re-estimate even if depth*.dmap files exist")
+    ap.add_argument("--masks-dir", default=None,
+                    help="directory of per-image semantic masks "
+                         "(<image-stem>.png); with use-semantic=1 they "
+                         "feed the RANSAC planar priors (ref: Image "
+                         "maskName + GenerateDepthPrior)")
     ap.add_argument("--export-viewer", action="store_true",
                     help="also write scene_dense.html (offline WebGL "
                          "orbit viewer — the Viewer app equivalent)")
@@ -262,7 +331,8 @@ def main(argv=None):
     images_dir = args.images_dir or os.path.dirname(args.input_file)
     stats = densify(args.input_file, images_dir, args.working_dir, cfg,
                     resume=not args.no_resume,
-                    filter_point_cloud=args.filter_point_cloud)
+                    filter_point_cloud=args.filter_point_cloud,
+                    masks_dir=args.masks_dir)
     if args.export_viewer:
         from hcmvs_tpu.io.ply import read_ply
         from hcmvs_tpu.io.viewer import export_viewer_html

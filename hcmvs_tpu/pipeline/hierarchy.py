@@ -214,7 +214,8 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
                          base_cfg: Optional[DenseConfig] = None,
                          schedule: Optional[List[Stage]] = None,
                          resume: bool = True,
-                         verbose: bool = True) -> dict:
+                         verbose: bool = True,
+                         masks_dir: Optional[str] = None) -> dict:
     """Full hierarchical-cross densification of a `.mvs` scene — the
     run.sh top-level entry (ref: /root/reference/run.sh:1-20): builds the
     per-level scene tensors from resized images, runs the alternating
@@ -239,6 +240,18 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
             images_dir, _os.path.basename(name))
         raw.append(load_image(path, gray=True))
 
+    # semantic-mask files feed the RANSAC planar priors of any stage
+    # running use_semantic (the reference's final stage: --use-semantic 1,
+    # data/frame_main/resize1/run.py; masks named by Image::maskName)
+    mask_paths = None
+    if any(s.cfg.use_semantic for s in schedule):
+        from hcmvs_tpu.pipeline.densify import (find_scene_masks,
+                                                load_scene_masks)
+        mask_paths = find_scene_masks(scene, images_dir, masks_dir)
+        if verbose and mask_paths is not None:
+            print(f"[hierarchy] semantic masks on "
+                  f"{sum(p is not None for p in mask_paths)}/{n} images")
+
     levels = sorted({s.level for s in schedule}, reverse=True)
     tensors_per_level: Dict[int, SceneTensors] = {}
     with stage_timer("hierarchy.build_levels", log=verbose):
@@ -260,8 +273,11 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
                                     scene.point_view_ids, centers, n)
                 nbr1, _ = select_neighbors(score, 1)
                 flows = scene_flows(np.stack(grays), nbr1)
+            semantic = None
+            if mask_paths is not None:
+                semantic = load_scene_masks(mask_paths, grays[0].shape)
             tensors_per_level[lvl] = build_scene_tensors(
-                scene, grays, base_cfg, flows)
+                scene, grays, base_cfg, flows, semantic=semantic)
 
     with stage_timer("hierarchy.schedule", log=verbose):
         state = run_hierarchy(
@@ -318,12 +334,16 @@ def main(argv=None):
     ap.add_argument("-w", "--working-dir", default="mvs_hc_out")
     ap.add_argument("--flags", nargs="*", default=[])
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--masks-dir", default=None,
+                    help="directory of per-image semantic masks for the "
+                         "use-semantic stages")
     args = ap.parse_args(argv)
     cfg = config_from_cli_flags(dict(f.split("=", 1) for f in args.flags))
     images_dir = args.images_dir or os.path.dirname(args.input_file)
     stats = densify_hierarchical(args.input_file, images_dir,
                                  args.working_dir, cfg,
-                                 resume=not args.no_resume)
+                                 resume=not args.no_resume,
+                                 masks_dir=args.masks_dir)
     print({k: v for k, v in stats.items() if k != "depth"})
     log_report()
 
