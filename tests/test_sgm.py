@@ -142,3 +142,60 @@ def test_sgm_multi_pair_beats_single_pair():
     # fused multi-pair: equal-or-better accuracy
     assert e3 <= e1 * 1.05, (e3, e1)
     assert v3 > 0.4, v3
+
+
+def test_sgm_lr_check_kills_occlusion_ghosts():
+    """Single-pair mode (--fusion-mode -1, one neighbor) has no fusion
+    redundancy; the per-pair left-right cross-check must reject the
+    occluded-region ghosts on the box scene (ref: the LR check inside
+    SemiGlobalMatcher::Match, SemiGlobalMatcher.cpp:530)."""
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.dense.scene_driver import SceneTensors
+    from hcmvs_tpu.dense.sgm import sgm_scene
+    from hcmvs_tpu.utils.synth import make_box_scene
+    sc = make_box_scene(np.random.default_rng(5), h=64, w=96, n_views=2)
+    n, v = 2, 1
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    nbr = np.array([[1], [0]], np.int32)
+    scene = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]),
+        cams=cams, nbr_idx=jnp.asarray(nbr),
+        nbr_valid=jnp.ones((n, v), bool),
+        d_min=jnp.full((n,), sc.d_min, jnp.float32),
+        d_max=jnp.full((n,), sc.d_max, jnp.float32))
+
+    # ground-truth occlusion mask: ref pixels whose GT point the source's
+    # own GT depth disagrees with (something nearer blocks the view)
+    from hcmvs_tpu.dense.sgm import lr_consistency
+    from hcmvs_tpu.dense.types import make_view_geometry
+    g01 = make_view_geometry(
+        sc.cameras[0], Camera(K=sc.cameras[1].K[None],
+                              R=sc.cameras[1].R[None],
+                              C=sc.cameras[1].C[None]))
+    occl = ~np.asarray(lr_consistency(
+        g01, jnp.asarray(sc.depth_gts[0]), jnp.asarray(sc.depth_gts[1]),
+        rel_thr=0.01))
+
+    inner = np.s_[6:-6, 6:-6]
+
+    def stats(lr):
+        depth, _, _ = sgm_scene(scene, n_depths=64, n_pairs=1,
+                                lr_check=lr)
+        d0 = np.asarray(depth[0])
+        gt = sc.depth_gts[0]
+        val = d0 > 0
+        ghost = val & (np.abs(d0 - gt) / gt > 0.05)
+        g_rate = ghost[inner].sum() / max(val[inner].sum(), 1)
+        occl_emit = (val & occl)[inner].mean()   # estimates in occlusion
+        return g_rate, occl_emit, val[inner].mean()
+
+    g_no, occ_no, v_no = stats(False)
+    g_lr, occ_lr, v_lr = stats(True)
+    # the check must stop emitting estimates in the occluded band and
+    # cut the overall outlier fraction, while keeping most genuinely
+    # consistent pixels
+    assert occ_lr < occ_no * 0.35, (occ_no, occ_lr)
+    assert g_lr < g_no * 0.75, (g_no, g_lr)
+    assert v_lr > 0.5, v_lr
