@@ -89,7 +89,10 @@ def main():
                       file=sys.stderr, flush=True)
         for attempt in range(2):
             try:
-                r = _run_worker(n_views, h, w, v_nbr, "timed", 560)
+                # 900s: the timed worker is usually ~60s, but the tunnel's
+                # first-readback latency has been observed past 500s —
+                # a 560s budget lost the flagship size to that tail twice
+                r = _run_worker(n_views, h, w, v_nbr, "timed", 900)
                 line = [ln for ln in r.stdout.splitlines()
                         if ln.startswith("{")][-1]
                 print(line)

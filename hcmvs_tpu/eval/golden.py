@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
-        verbose: bool = False) -> dict:
+        verbose: bool = False, fx: float = None) -> dict:
     import jax
     import jax.numpy as jnp
     from hcmvs_tpu.core.camera import Camera
@@ -35,8 +35,19 @@ def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
     from hcmvs_tpu.utils.synth import make_ridge_scene
 
     rng = np.random.default_rng(seed)
+    # FOV-preserving focal scaling: quality-vs-resolution measurements
+    # must hold the camera geometry fixed.  The r2 ladder kept fx=180 at
+    # every size, so "640x480" was a 121-degree ultra-wide camera with
+    # grazing borders — measured root cause of the apparent 0.97 -> 0.77
+    # accuracy "cliff": at fx scaled (56-degree FOV held), 640x480 scores
+    # 0.908; at fx=180 every exact backend (volume/bilinear) agrees at
+    # ~0.772, i.e. the degradation is the scene geometry, not resolution
+    # or the sigma-table engine (BASELINE.md round 3).  Pass fx=180
+    # explicitly to reproduce the wide-FOV stress case.
+    if fx is None:
+        fx = 180.0 * w / 192.0
     sc = make_ridge_scene(rng, h=h, w=w, n_views=n_views,
-                          spacing=0.25)
+                          spacing=0.25, fx=fx)
     K = np.asarray(sc.cameras[0].K)
 
     # --- SfM from pixels ---
@@ -144,7 +155,7 @@ def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
 
 
 def run_hierarchy(h: int = 144, w: int = 192, n_views: int = 5,
-                  seed: int = 0) -> dict:
+                  seed: int = 0, fx: float = None) -> dict:
     """Full product path: SfM poses (not GT) -> scene.mvs -> 3-stage
     hierarchical-cross densification; depth accuracy after median-scale
     alignment (SfM scale is arbitrary).  Measured 0.970 on the ridge
@@ -160,7 +171,10 @@ def run_hierarchy(h: int = 144, w: int = 192, n_views: int = 5,
                                            sfm_to_scene)
     from hcmvs_tpu.utils.synth import make_ridge_scene
     rng = np.random.default_rng(seed)
-    sc = make_ridge_scene(rng, h=h, w=w, n_views=n_views, spacing=0.25)
+    if fx is None:      # FOV-preserving (see run() — cliff root cause)
+        fx = 180.0 * w / 192.0
+    sc = make_ridge_scene(rng, h=h, w=w, n_views=n_views, spacing=0.25,
+                          fx=fx)
     K = np.asarray(sc.cameras[0].K)
     res = incremental_sfm(
         [im.astype(np.float32) for im in sc.images], K,

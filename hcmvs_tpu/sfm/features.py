@@ -135,10 +135,63 @@ def detect_and_describe(gray: jax.Array, max_keypoints: int = 1024,
     gx = 0.5 * (_shift2(base, 0, -1) - _shift2(base, 0, 1))
     gy = 0.5 * (_shift2(base, -1, 0) - _shift2(base, 1, 0))
 
-    angle = _dominant_orientation(gx, gy, kx, ky)
-    desc = _descriptors(gx, gy, kx, ky, angle)
+    # descriptor/orientation support scales with the detected sigma
+    # (SIFT semantics: the window measures the same surface patch no
+    # matter which scale fired) — normalized so the first interior DoG
+    # scale keeps the base 12px support
+    ksup = jnp.maximum(kscale, sigmas[1]) / sigmas[1]
+    angle = _dominant_orientation(gx, gy, kx, ky, sup=ksup)
+    desc = _descriptors(gx, gy, kx, ky, angle, sup=ksup)
     return Keypoints(xy=jnp.stack([kx, ky], axis=-1), score=scores,
                      scale=kscale, angle=angle, desc=desc)
+
+
+def detect_and_describe_pyramid(gray: jax.Array,
+                                max_keypoints: int = 1024,
+                                n_octaves: int = 3,
+                                n_scales: int = 4,
+                                contrast_threshold: float = 0.015
+                                ) -> Keypoints:
+    """Multi-octave detection: the single-octave detector on a
+    half-resolution pyramid, keypoints mapped back to full-res coords.
+
+    The single-octave DoG spans sigma ~1.2-6.5px; OpenMVG's SIFT
+    (ref: MvgMvsPipeline.py:184-186 openMVG_main_ComputeFeatures -m SIFT)
+    covers decades of scale via octaves — without them, matching across a
+    >=2x zoom change fails (no keypoint pair sees the same surface
+    patch at the same blur).  Each octave gets an equal share of the
+    keypoint budget; octave o's coordinates/scales scale by 2^o.
+
+    Returns a single Keypoints with K = max_keypoints (weakest entries
+    masked via score <= 0, like the base detector).
+    """
+    # budget proportional to pixel count (4:1:0.25...): fine-octave
+    # keypoints carry the pose accuracy on same-scale rigs; coarse
+    # octaves only need enough coverage for cross-scale matching
+    weights = [4.0 ** -o for o in range(n_octaves)]
+    total = sum(weights)
+    parts = []
+    img = gray
+    for o in range(n_octaves):
+        h, w = img.shape
+        if min(h, w) < 48:      # descriptor support no longer fits
+            break
+        per_oct = max(int(max_keypoints * weights[o] / total), 16)
+        kp = detect_and_describe(img, per_oct, n_scales,
+                                 contrast_threshold)
+        f = float(2 ** o)
+        parts.append(Keypoints(xy=kp.xy * f, score=kp.score,
+                               scale=kp.scale * f, angle=kp.angle,
+                               desc=kp.desc))
+        if o < n_octaves - 1:   # anti-alias blur, then decimate
+            img = _sep_blur(img, _gauss_kernel1d(1.2, 3))[::2, ::2]
+    kps = Keypoints(*(jnp.concatenate([getattr(p, f) for p in parts])
+                      for f in Keypoints._fields))
+    # global top-k so the output size is stable for downstream static
+    # shapes (and the strongest features win regardless of octave)
+    k = min(max_keypoints, kps.score.shape[0])
+    _, order = jax.lax.top_k(kps.score, k)
+    return Keypoints(*(getattr(kps, f)[order] for f in Keypoints._fields))
 
 
 def _bilinear_at(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -155,17 +208,21 @@ def _bilinear_at(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 def _dominant_orientation(gx: jax.Array, gy: jax.Array, kx: jax.Array,
                           ky: jax.Array, n_bins: int = 36,
-                          radius: int = 6) -> jax.Array:
-    """Histogram of gradient directions in a disc around each keypoint."""
+                          radius: int = 6,
+                          sup: "jax.Array | None" = None) -> jax.Array:
+    """Histogram of gradient directions in a disc around each keypoint.
+    ``sup``: per-keypoint support multiplier (sigma-proportional)."""
     offs = [(dy, dx) for dy in range(-radius, radius + 1)
             for dx in range(-radius, radius + 1)
             if dy * dy + dx * dx <= radius * radius]
     offs = np.array(offs, np.float32)          # (P, 2)
     sig2 = (radius / 2) ** 2
+    if sup is None:
+        sup = jnp.ones_like(kx)
 
-    def at_kp(kxi, kyi):
-        xs = kxi + offs[:, 1]
-        ys = kyi + offs[:, 0]
+    def at_kp(kxi, kyi, si):
+        xs = kxi + offs[:, 1] * si
+        ys = kyi + offs[:, 0] * si
         gxs = _bilinear_at(gx, xs, ys)
         gys = _bilinear_at(gy, xs, ys)
         mag = jnp.hypot(gxs, gys)
@@ -177,13 +234,14 @@ def _dominant_orientation(gx: jax.Array, gy: jax.Array, kx: jax.Array,
         b = jnp.argmax(hist)
         return (b.astype(jnp.float32) + 0.5) / n_bins * 2 * np.pi - np.pi
 
-    return jax.vmap(at_kp)(kx, ky)
+    return jax.vmap(at_kp)(kx, ky, sup)
 
 
 def _descriptors(gx: jax.Array, gy: jax.Array, kx: jax.Array,
                  ky: jax.Array, angle: jax.Array,
                  n_cells: int = 4, n_ori: int = 8,
-                 cell_size: float = 3.0) -> jax.Array:
+                 cell_size: float = 3.0,
+                 sup: "jax.Array | None" = None) -> jax.Array:
     """SIFT-like 4x4x8 gradient histograms, rotation-normalized."""
     half = n_cells * cell_size / 2.0
     # sample grid in the keypoint's rotated frame: one sample per unit cell
@@ -198,10 +256,12 @@ def _descriptors(gx: jax.Array, gy: jax.Array, kx: jax.Array,
             pts.append(np.stack([sy + oy, sx + ox], axis=-1).reshape(-1, 2))
     pts = np.concatenate(pts, 0).astype(np.float32)      # (P, 2) (y, x)
     cell_of = np.tile(np.arange(n_cells * n_cells), len(sub) ** 2)
+    if sup is None:
+        sup = jnp.ones_like(kx)
 
-    def at_kp(kxi, kyi, ai):
-        ca = jnp.cos(ai)
-        sa = jnp.sin(ai)
+    def at_kp(kxi, kyi, ai, si):
+        ca = jnp.cos(ai) * si
+        sa = jnp.sin(ai) * si
         xs = kxi + ca * pts[:, 1] - sa * pts[:, 0]
         ys = kyi + sa * pts[:, 1] + ca * pts[:, 0]
         gxs = _bilinear_at(gx, xs, ys)
@@ -220,4 +280,4 @@ def _descriptors(gx: jax.Array, gy: jax.Array, kx: jax.Array,
         d = jnp.minimum(d, 0.2)                     # SIFT clamp
         return d / jnp.maximum(jnp.linalg.norm(d), 1e-9)
 
-    return jax.vmap(at_kp)(kx, ky, angle)
+    return jax.vmap(at_kp)(kx, ky, angle, sup)

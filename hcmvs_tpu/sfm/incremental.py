@@ -23,7 +23,8 @@ from hcmvs_tpu.io.mvs import (CameraIntrinsic, ImageRecord, Platform, Pose,
                               SceneMVS)
 from hcmvs_tpu.sfm.ba import (BAState, build_problem, rodrigues,
                               rotation_to_rvec, run_ba)
-from hcmvs_tpu.sfm.features import detect_and_describe
+from hcmvs_tpu.sfm.features import (detect_and_describe,
+                                    detect_and_describe_pyramid)
 from hcmvs_tpu.sfm.matching import match_descriptors
 from hcmvs_tpu.sfm.pnp import ransac_pnp
 from hcmvs_tpu.sfm.two_view import ransac_essential, triangulate_midpoint
@@ -32,6 +33,8 @@ from hcmvs_tpu.sfm.two_view import ransac_essential, triangulate_midpoint
 @dataclasses.dataclass
 class SfMConfig:
     max_keypoints: int = 1024
+    n_octaves: int = 3       # downsampled DoG octaves (OpenMVG-SIFT
+                             # scale coverage; 1 = single-octave)
     match_ratio: float = 0.8
     min_matches: int = 30
     ransac_threshold: float = 2e-5   # squared Sampson, normalized coords
@@ -41,6 +44,10 @@ class SfMConfig:
     final_ba_iters: int = 25
     max_homography_ratio: float = 0.85  # init pairs with H/E inlier ratio
                                         # above this are planar-degenerate
+    max_init_pairs: int = 40            # only the best pairs (by match
+                                        # count) run init two-view RANSAC
+                                        # — scanning all O(N^2) pairs is
+                                        # pointless at 50+ images
 
 
 @dataclasses.dataclass
@@ -56,11 +63,32 @@ def _normalize(uv: np.ndarray, K: np.ndarray) -> np.ndarray:
     return (uv - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
 
 
+def _bucket_pad(*arrays, valid=None, min_size: int = 64):
+    """Pad leading dims to the next power of two (>= min_size) with a
+    validity mask: every variable-length RANSAC/triangulation input maps
+    onto a handful of compiled shapes instead of one executable per match
+    count (a 50-image scene has ~1000 distinct counts — compiling each
+    aborted CI with exhausted memory)."""
+    m = arrays[0].shape[0]
+    size = min_size
+    while size < m:
+        size *= 2
+    pad = size - m
+    out = [np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1)) for a in arrays]
+    v = np.zeros(size, bool)
+    v[:m] = True if valid is None else valid
+    return (*out, v)
+
+
 def compute_features_and_matches(images: List[np.ndarray],
                                  cfg: SfMConfig):
     """Stage 1+2: per-image features and pairwise matches (device)."""
     n = len(images)
-    kps = [detect_and_describe(jnp.asarray(im), cfg.max_keypoints)
+    kps = [(detect_and_describe_pyramid(jnp.asarray(im),
+                                        cfg.max_keypoints,
+                                        cfg.n_octaves)
+            if cfg.n_octaves > 1 else
+            detect_and_describe(jnp.asarray(im), cfg.max_keypoints))
            for im in images]
     xy = [np.asarray(k.xy) for k in kps]
     valid = [np.asarray(k.score) > 0 for k in kps]
@@ -107,17 +135,20 @@ def sfm_from_matches(xy: List[np.ndarray],
     from hcmvs_tpu.sfm.two_view import ransac_homography
     best_pair, best_res, best_inl = None, None, -1
     fallback = (None, None, -1)
-    for (i, j), pairs in pair_matches.items():
+    init_pairs = sorted(pair_matches, key=lambda p: -len(pair_matches[p]))
+    for (i, j) in init_pairs[:cfg.max_init_pairs]:
+        pairs = pair_matches[(i, j)]
         p0 = _normalize(xy[i][pairs[:, 0]], K).astype(np.float32)
         p1 = _normalize(xy[j][pairs[:, 1]], K).astype(np.float32)
+        p0, p1, vmask = _bucket_pad(p0, p1)
         key, sub = jax.random.split(key)
         res = ransac_essential(sub, jnp.asarray(p0), jnp.asarray(p1),
-                               jnp.ones(len(p0), bool),
+                               jnp.asarray(vmask),
                                cfg.ransac_threshold)
         n_inl = int(res.n_inliers)
         key, sub = jax.random.split(key)
         hres = ransac_homography(sub, jnp.asarray(p0), jnp.asarray(p1),
-                                 jnp.ones(len(p0), bool),
+                                 jnp.asarray(vmask),
                                  2.0 * cfg.ransac_threshold)
         h_ratio = int(hres.n_inliers) / max(n_inl, 1)
         if n_inl > fallback[2]:
@@ -141,26 +172,52 @@ def sfm_from_matches(xy: List[np.ndarray],
         i1: (R1, t1),
     }
     pairs01 = pair_matches[best_pair]
-    inl = np.asarray(best_res.inliers)
+    m01 = len(pairs01)
+    inl = np.asarray(best_res.inliers)[:m01]
     p0 = _normalize(xy[i0][pairs01[:, 0]], K).astype(np.float32)
     p1 = _normalize(xy[i1][pairs01[:, 1]], K).astype(np.float32)
+    p0, p1, _ = _bucket_pad(p0, p1)
     X, z0 = triangulate_midpoint(jnp.asarray(R1, jnp.float32),
                                  jnp.asarray(t1, jnp.float32),
                                  jnp.asarray(p0), jnp.asarray(p1))
-    X = np.asarray(X)
+    X = np.asarray(X)[:m01]
     z1 = (X @ R1.T + t1)[:, 2]
-    good = inl & (np.asarray(z0) > 0) & (z1 > 0)
+    good = inl & (np.asarray(z0)[:m01] > 0) & (z1 > 0)
+
+    # track bookkeeping as dense arrays (the per-match Python dict loops
+    # of the first version were O(N * pairs * matches) per registration —
+    # minutes-to-hours at 100+ images):
+    #   track_of (N, K) int32: keypoint -> track id (-1 unassigned)
+    #   adj_*[i]: image i's matches across ALL pairs, concatenated
+    n_kp = max(len(x) for x in xy)
+    track_of = np.full((n, n_kp), -1, np.int32)
+    adj_other = [[] for _ in range(n)]
+    adj_kp_self = [[] for _ in range(n)]
+    adj_kp_other = [[] for _ in range(n)]
+    for (a, b), pairs in pair_matches.items():
+        adj_other[a].append(np.full(len(pairs), b, np.int32))
+        adj_kp_self[a].append(pairs[:, 0].astype(np.int32))
+        adj_kp_other[a].append(pairs[:, 1].astype(np.int32))
+        adj_other[b].append(np.full(len(pairs), a, np.int32))
+        adj_kp_self[b].append(pairs[:, 1].astype(np.int32))
+        adj_kp_other[b].append(pairs[:, 0].astype(np.int32))
+    cat = lambda ls: (np.concatenate(ls) if ls else  # noqa: E731
+                      np.zeros(0, np.int32))
+    adj_other = [cat(v) for v in adj_other]
+    adj_kp_self = [cat(v) for v in adj_kp_self]
+    adj_kp_other = [cat(v) for v in adj_kp_other]
+    registered = np.zeros(n, bool)
+    registered[[i0, i1]] = True
 
     points: List[np.ndarray] = []
     track_obs: List[List[Tuple[int, int]]] = []
-    kp_to_track: Dict[Tuple[int, int], int] = {}
     for m_idx in np.nonzero(good)[0]:
         a, b = pairs01[m_idx]
         tid = len(points)
         points.append(X[m_idx])
         track_obs.append([(i0, int(a)), (i1, int(b))])
-        kp_to_track[(i0, int(a))] = tid
-        kp_to_track[(i1, int(b))] = tid
+        track_of[i0, a] = tid
+        track_of[i1, b] = tid
 
     def run_global_ba():
         nonlocal points
@@ -189,66 +246,52 @@ def sfm_from_matches(xy: List[np.ndarray],
         rms = float(np.sqrt(cost / max(len(obs_cam), 1)))
         return rms
 
-    # 5. register remaining views by 2D-3D support
+    # 5. register remaining views by 2D-3D support (all bookkeeping is
+    # numpy joins over the per-image adjacency tables — one fancy-index
+    # per candidate instead of the per-match dict loops)
     remaining = set(range(n)) - set(poses)
     n_registered = 2
     while remaining:
         # count 2D-3D correspondences per candidate
         counts = {}
         for img in remaining:
-            c = 0
-            for (a, b), pairs in pair_matches.items():
-                if a == img or b == img:
-                    other = b if a == img else a
-                    if other not in poses:
-                        continue
-                    for pa, pb in pairs:
-                        kp_self = pa if a == img else pb
-                        kp_other = pb if a == img else pa
-                        if (other, int(kp_other)) in kp_to_track:
-                            c += 1
-            counts[img] = c
+            ok = (registered[adj_other[img]]
+                  & (track_of[adj_other[img], adj_kp_other[img]] >= 0))
+            counts[img] = int(ok.sum())
         img = max(counts, key=counts.get)
         if counts[img] < cfg.min_pnp_inliers:
             break
         remaining.discard(img)
 
         # gather its 2D-3D correspondences
-        corr_X, corr_uv, corr_kp, corr_tid = [], [], [], []
-        for (a, b), pairs in pair_matches.items():
-            if a != img and b != img:
-                continue
-            other = b if a == img else a
-            if other not in poses:
-                continue
-            for pa, pb in pairs:
-                kp_self = int(pa if a == img else pb)
-                kp_other = int(pb if a == img else pa)
-                tid = kp_to_track.get((other, kp_other))
-                if tid is not None and (img, kp_self) not in kp_to_track:
-                    corr_X.append(points[tid])
-                    corr_uv.append(xy[img][kp_self])
-                    corr_kp.append(kp_self)
-                    corr_tid.append(tid)
-        if len(corr_X) < cfg.min_pnp_inliers:
+        tid_other = track_of[adj_other[img], adj_kp_other[img]]
+        sel = (registered[adj_other[img]] & (tid_other >= 0)
+               & (track_of[img, adj_kp_self[img]] < 0))
+        corr_kp = adj_kp_self[img][sel]
+        corr_tid = tid_other[sel]
+        if len(corr_kp) < cfg.min_pnp_inliers:
             continue
+        pts_np = np.stack(points)
+        n_corr = len(corr_kp)
+        corr_X = pts_np[corr_tid].astype(np.float32)
+        uvn = _normalize(xy[img][corr_kp], K).astype(np.float32)
+        corr_X, uvn, vmask = _bucket_pad(corr_X, uvn)
         key, sub = jax.random.split(key)
-        uvn = _normalize(np.asarray(corr_uv), K).astype(np.float32)
-        res = ransac_pnp(sub, jnp.asarray(np.asarray(corr_X), jnp.float32),
-                         jnp.asarray(uvn),
-                         jnp.ones(len(corr_X), bool), cfg.pnp_threshold)
+        res = ransac_pnp(sub, jnp.asarray(corr_X), jnp.asarray(uvn),
+                         jnp.asarray(vmask), cfg.pnp_threshold)
         if int(res.n_inliers) < cfg.min_pnp_inliers:
             if verbose:
                 print(f"[sfm] image {img}: PnP failed "
-                      f"({int(res.n_inliers)}/{len(corr_X)} inliers)")
+                      f"({int(res.n_inliers)}/{n_corr} inliers)")
             continue
         R = np.asarray(res.R)
         t = np.asarray(res.t)
         poses[img] = (R, t)
-        inl = np.asarray(res.inliers)
+        registered[img] = True
+        inl = np.asarray(res.inliers)[:n_corr]
         for k_i in np.nonzero(inl)[0]:
-            kp_to_track[(img, corr_kp[k_i])] = corr_tid[k_i]
-            track_obs[corr_tid[k_i]].append((img, corr_kp[k_i]))
+            track_of[img, corr_kp[k_i]] = corr_tid[k_i]
+            track_obs[corr_tid[k_i]].append((img, int(corr_kp[k_i])))
         if verbose:
             print(f"[sfm] registered image {img} "
                   f"({int(res.n_inliers)}/{len(corr_X)} inliers)")
@@ -260,14 +303,17 @@ def sfm_from_matches(xy: List[np.ndarray],
             other = b if a == img else a
             if other not in poses:
                 continue
-            new = [(int(pa if a == img else pb), int(pb if a == img else pa))
-                   for pa, pb in pairs
-                   if (img, int(pa if a == img else pb)) not in kp_to_track
-                   and (other, int(pb if a == img else pa)) not in kp_to_track]
-            if not new:
+            kp_s_all = (pairs[:, 0] if a == img else pairs[:, 1]).astype(
+                np.int32)
+            kp_o_all = (pairs[:, 1] if a == img else pairs[:, 0]).astype(
+                np.int32)
+            fresh = ((track_of[img, kp_s_all] < 0)
+                     & (track_of[other, kp_o_all] < 0))
+            if not fresh.any():
                 continue
-            kp_s = np.array([x[0] for x in new])
-            kp_o = np.array([x[1] for x in new])
+            kp_s = kp_s_all[fresh]
+            kp_o = kp_o_all[fresh]
+            m_new = len(kp_s)
             Rs, ts = poses[img]
             Ro, to = poses[other]
             # relative pose other->img: X_img = R_rel X_other + t_rel
@@ -275,11 +321,13 @@ def sfm_from_matches(xy: List[np.ndarray],
             t_rel = ts - R_rel @ to
             po = _normalize(xy[other][kp_o], K).astype(np.float32)
             ps = _normalize(xy[img][kp_s], K).astype(np.float32)
+            po, ps, _ = _bucket_pad(po, ps)
             Xo, zo = triangulate_midpoint(
                 jnp.asarray(R_rel, jnp.float32),
                 jnp.asarray(t_rel, jnp.float32),
                 jnp.asarray(po), jnp.asarray(ps))
-            Xo = np.asarray(Xo)
+            Xo = np.asarray(Xo)[:m_new]
+            po, ps, zo = po[:m_new], ps[:m_new], np.asarray(zo)[:m_new]
             Xs = Xo @ R_rel.T + t_rel
             zs = Xs[:, 2]
             # to world: X_w = Ro^T (X_other - to)
@@ -293,13 +341,14 @@ def sfm_from_matches(xy: List[np.ndarray],
             err = (np.sum((r_o - po) ** 2, 1) + np.sum((r_s - ps) ** 2, 1))
             okc = ((zo_np > 0) & (zs > 0)
                    & (err < 4 * cfg.pnp_threshold))
-            for k_i in np.nonzero(okc)[0]:
-                tid = len(points)
+            acc = np.nonzero(okc)[0]
+            tids = len(points) + np.arange(len(acc), dtype=np.int32)
+            track_of[other, kp_o[acc]] = tids
+            track_of[img, kp_s[acc]] = tids
+            for k_i in acc:
                 points.append(Xw[k_i])
                 track_obs.append([(other, int(kp_o[k_i])),
                                   (img, int(kp_s[k_i]))])
-                kp_to_track[(other, int(kp_o[k_i]))] = tid
-                kp_to_track[(img, int(kp_s[k_i]))] = tid
 
         n_registered += 1
         if n_registered % cfg.ba_every == 0:

@@ -166,10 +166,14 @@ def make_ridge_scene(rng: np.random.Generator, h: int = 96, w: int = 128,
 def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
                      n_views: int = 3, fx: float = 100.0,
                      slant: Tuple[float, float] = (0.3, 0.15),
-                     z0: float = 4.0, texture_fn=None) -> PlaneScene:
+                     z0: float = 4.0, texture_fn=None,
+                     cam_positions=None) -> PlaneScene:
     """Textured slanted plane z = z0 + a*x + b*y seen from ``n_views``
     cameras: camera 0 is the reference at the origin; the others are
-    translated sideways with a small rotation (stereo-like baselines)."""
+    translated sideways with a small rotation (stereo-like baselines).
+    ``cam_positions``: optional explicit camera centers (overrides the
+    default sideways rig — e.g. dolly-in positions for scale-change
+    tests)."""
     a, b = slant
     # plane: z - a*x - b*y = z0  ->  n_w = (-a, -b, 1)/|.|, c = z0/|.|
     n_w = np.array([-a, -b, 1.0])
@@ -184,7 +188,11 @@ def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
     # execution mode (measured ~300x; see .claude/skills/verify/SKILL.md)
     cams_np = []
     for i in range(n_views):
-        if i == 0:
+        if cam_positions is not None:
+            R = (np.eye(3) if i == 0 else
+                 _rotation(0.004 * i, -0.006 * i, 0.002 * i))
+            C = np.asarray(cam_positions[i], np.float64)
+        elif i == 0:
             R = np.eye(3)
             C = np.zeros(3)
         else:

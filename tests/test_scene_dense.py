@@ -214,6 +214,38 @@ def test_global_pair_assignment():
     assert pairs[4] == -1
 
 
+def test_pair_assignment_matches_brute_force_optimum():
+    """The TRW-S + restart-ensemble solver vs exhaustive enumeration on
+    small instances (the r2 gap: plain ICM was never compared — measured
+    23% exact with energy gaps to 53%; ref solver:
+    SceneDensify.cpp:184-301 TRW-S, Math/TRWS/MRFEnergy.h)."""
+    import itertools
+    from hcmvs_tpu.dense.view_selection import (assignment_energy,
+                                                global_pair_assignment,
+                                                _pair_mrf)
+    n, K = 6, 3
+    exact = 0
+    worst_gap = 0.0
+    for seed in range(15):
+        r = np.random.default_rng(seed)
+        score = r.uniform(0, 1, (n, n)) * (r.uniform(0, 1, (n, n)) > 0.3)
+        score = (score + score.T) / 2
+        np.fill_diagonal(score, 0)
+        cand, _, _, _, _ = _pair_mrf(score, K, 0.3)
+        k = cand.shape[1]
+        best_E = np.inf
+        for labels in itertools.product(range(k + 1), repeat=n):
+            assign = np.array([cand[i, l] if l < k else -1
+                               for i, l in enumerate(labels)])
+            best_E = min(best_E, assignment_energy(score, assign, K))
+        a = global_pair_assignment(score, max_candidates=K)
+        gap = (assignment_energy(score, a, K) - best_E) / max(best_E, 1e-9)
+        exact += gap < 1e-9
+        worst_gap = max(worst_gap, gap)
+    assert exact >= 13, (exact, worst_gap)
+    assert worst_gap < 0.01, worst_gap
+
+
 def test_lk_flow_recovers_translation():
     """TPU-native pyramidal LK recovers a known integer shift."""
     import jax.numpy as jnp

@@ -61,6 +61,78 @@ def test_features_detect_and_match_shifted():
     assert frac > 0.7
 
 
+def test_features_match_under_3x_scale_change():
+    """Octave pyramid coverage (ref: OpenMVG SIFT's octaves,
+    MvgMvsPipeline.py:184-186): keypoints must match between an image and
+    its 3x-downscaled copy — single-octave DoG (n_octaves=1) cannot, as
+    no keypoint pair sees the same surface patch at the same blur."""
+    import cv2
+    from hcmvs_tpu.sfm.features import detect_and_describe_pyramid
+    rng = np.random.default_rng(7)
+    # blobs big enough to survive 3x downsampling (sigma 5-12px -> 1.7-4
+    # in the small image, inside the DoG ladder's detectable band)
+    h, w = 288, 384
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    img = np.zeros((h, w))
+    for _ in range(150):
+        cy, cx = rng.uniform(20, h - 20), rng.uniform(20, w - 20)
+        sb = rng.uniform(5.0, 12.0)
+        a = rng.uniform(0.3, 0.7) * rng.choice([-1, 1])
+        img = img + a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                               / (2 * sb * sb))
+    img = ((img - img.min()) / np.ptp(img)).astype(np.float32)
+    s = 3.0
+    small = cv2.resize(img, (int(w / s), int(h / s)),
+                       interpolation=cv2.INTER_AREA)
+    kp_a = detect_and_describe_pyramid(jnp.asarray(img),
+                                       max_keypoints=384, n_octaves=3)
+    kp_b = detect_and_describe_pyramid(jnp.asarray(small),
+                                       max_keypoints=384, n_octaves=3)
+    m = match_descriptors(kp_a.desc, kp_b.desc, kp_a.score > 0,
+                          kp_b.score > 0)
+    mi = np.asarray(m.idx)
+    mv = np.asarray(m.valid)
+    xa = np.asarray(kp_a.xy)[mv]
+    xb = np.asarray(kp_b.xy)[mi[mv]]
+    err = np.linalg.norm(xa - xb * s, axis=1)
+    good = (err < 3.0).sum()
+    assert good > 20, (mv.sum(), good)
+    # the correct-scale correspondence dominates the match set
+    assert (err < 3.0).mean() > 0.5, (err < 3.0).mean()
+
+
+def test_sfm_registers_dolly_zoom_views():
+    """Incremental SfM across a 2x scale change: three lateral views at
+    z~0 (well-conditioned init) plus a dolly chain to z=2.0 toward a
+    plane at z~4 — the final view sees the scene 2x larger than view 0.
+    All views must register (the multi-octave pyramid + sigma-scaled
+    descriptors carry the cross-scale matches; r2's single-octave
+    detector could not) with a tight trajectory."""
+    from hcmvs_tpu.eval.pose_eval import ate
+    from hcmvs_tpu.sfm.incremental import SfMConfig, incremental_sfm
+    from hcmvs_tpu.utils.synth import blob_texture_fn, make_plane_scene
+    rng = np.random.default_rng(3)
+    positions = [(0.0, 0.0, 0.0), (-0.35, 0.04, 0.0), (0.35, 0.02, 0.05),
+                 (0.1, 0.03, 1.0), (0.18, 0.05, 2.0)]
+    sc = make_plane_scene(rng, h=192, w=256, n_views=5, fx=320.0,
+                          slant=(0.15, 0.08),
+                          texture_fn=blob_texture_fn(rng, n_blobs=2500,
+                                                     extent=2.5),
+                          cam_positions=positions)
+    K = np.asarray(sc.cameras[0].K)
+    res = incremental_sfm([im.astype(np.float32) for im in sc.images], K,
+                          SfMConfig(max_keypoints=1024, min_matches=15,
+                                    min_pnp_inliers=10, n_octaves=3,
+                                    ba_every=2))
+    assert len(res.poses) == 5, f"registered {sorted(res.poses)}"
+    gt_C = np.stack([np.asarray(c.C) for c in sc.cameras])
+    reg = sorted(res.poses)
+    est_C = np.stack([res.poses[i][1] for i in reg])
+    stats = ate(est_C, gt_C[reg])
+    assert stats["rmse"] < 0.05 * 2.0, stats   # <5% of the dolly span
+
+
 def _synth_two_view(rng, n=200, outlier_frac=0.2, noise=0.001):
     X = rng.uniform(-1, 1, (n, 3)) + [0, 0, 4.0]
     angle = 0.1
