@@ -147,3 +147,54 @@ def _maxflow_scipy(n_nodes, eu, ev, cap_uv, cap_vu, cap_src, cap_snk,
     side = np.zeros(n_nodes, bool)
     side[order[order < n_nodes]] = True
     return float(res.flow_value) * quantum, side
+
+
+def _raster_lib() -> Optional[ctypes.CDLL]:
+    lib = _build("raster")
+    if lib is None:
+        return None
+    fn = lib.hcmvs_rasterize
+    fn.restype = None
+    fn.argtypes = [
+        ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    return lib
+
+
+def have_native_raster() -> bool:
+    return _raster_lib() is not None
+
+
+def rasterize(vertices: np.ndarray, faces: np.ndarray, K: np.ndarray,
+              R: np.ndarray, C: np.ndarray, h: int, w: int,
+              with_attrs: bool = True):
+    """Native z-buffer rasterization (see native/raster.cpp — the
+    TRasterMesh analog the Python fallback in mesh/mesh_ops.py mirrors).
+
+    Returns (depth f32 (h, w), face_id i32 (h, w), bary f32 (h, w, 3))
+    or None when the toolchain is unavailable."""
+    lib = _raster_lib()
+    if lib is None:
+        return None
+    V = np.ascontiguousarray(vertices, np.float64)
+    F = np.ascontiguousarray(faces, np.int32)
+    depth = np.zeros((h, w), np.float32)
+    fid = np.zeros((h, w), np.int32)
+    bary = np.zeros((h, w, 3), np.float32)
+    lib.hcmvs_rasterize(
+        np.int32(len(V)), np.int32(len(F)), V, F,
+        np.ascontiguousarray(K, np.float64),
+        np.ascontiguousarray(R, np.float64),
+        np.ascontiguousarray(C, np.float64),
+        np.int32(h), np.int32(w), np.int32(1 if with_attrs else 0),
+        depth, fid, bary)
+    return depth, fid, bary

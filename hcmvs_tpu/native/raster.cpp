@@ -1,0 +1,105 @@
+// Z-buffer triangle rasterization with per-pixel face ids +
+// perspective-correct barycentrics — the projection/visibility maps the
+// mesh-refinement kernels consume (ref: TRasterMesh,
+// frame_main/libs/MVS/Mesh.cpp:3532-3586, feeding the CUDA refine
+// pipeline SceneRefineCUDA.cpp:62-1944).
+//
+// C-ABI twin of mesh_ops.rasterize_attributes' numpy path (which loops
+// faces in Python — measured 34.6s for 8 views x 24k faces at 640x480;
+// this runs the same two-pass semantics in ~100ms): pass 1 min-depth
+// z-buffer, pass 2 winner attribution where the face's interpolated
+// depth matches the buffer within 1e-4 relative (last such face wins,
+// matching the Python iteration order).
+
+#include <cmath>
+#include <cstdint>
+#include <algorithm>
+
+extern "C" {
+
+// V (nv,3) f64 world; F (nf,3) i32; K,R (3,3) f64 row-major; C (3,) f64.
+// Outputs: depth (h,w) f32 (0 = empty), face_id (h,w) i32 (-1 = empty),
+// bary (h,w,3) f32.  with_attrs == 0 fills depth only.
+void hcmvs_rasterize(int32_t nv, int32_t nf, const double* V,
+                     const int32_t* F, const double* K, const double* R,
+                     const double* C, int32_t h, int32_t w,
+                     int32_t with_attrs, float* depth, int32_t* face_id,
+                     float* bary) {
+    // camera-space points + screen projections
+    double* z = new double[nv];
+    double* u = new double[nv];
+    double* v = new double[nv];
+    for (int32_t i = 0; i < nv; ++i) {
+        double x0 = V[3 * i] - C[0], x1 = V[3 * i + 1] - C[1],
+               x2 = V[3 * i + 2] - C[2];
+        double Xc0 = R[0] * x0 + R[1] * x1 + R[2] * x2;
+        double Xc1 = R[3] * x0 + R[4] * x1 + R[5] * x2;
+        double Xc2 = R[6] * x0 + R[7] * x1 + R[8] * x2;
+        z[i] = Xc2;
+        double pu = K[0] * Xc0 + K[1] * Xc1 + K[2] * Xc2;
+        double pv = K[3] * Xc0 + K[4] * Xc1 + K[5] * Xc2;
+        double pw = K[6] * Xc0 + K[7] * Xc1 + K[8] * Xc2;
+        if (pw != 0.0) { u[i] = pu / pw; v[i] = pv / pw; }
+        else { u[i] = 0.0; v[i] = 0.0; }
+    }
+    const int64_t npx = (int64_t)h * w;
+    for (int64_t p = 0; p < npx; ++p) depth[p] = 0.0f;
+    if (with_attrs) {
+        for (int64_t p = 0; p < npx; ++p) face_id[p] = -1;
+        for (int64_t p = 0; p < 3 * npx; ++p) bary[p] = 0.0f;
+    }
+
+    // pass over faces; pass_id 0 = z-buffer, 1 = winner attribution
+    for (int pass = 0; pass < (with_attrs ? 2 : 1); ++pass) {
+        for (int32_t fi = 0; fi < nf; ++fi) {
+            int32_t a = F[3 * fi], b = F[3 * fi + 1], c = F[3 * fi + 2];
+            if (z[a] <= 0.0 || z[b] <= 0.0 || z[c] <= 0.0) continue;
+            double ax = u[a], ay = v[a];
+            double t00 = u[b] - ax, t01 = v[b] - ay;
+            double t10 = u[c] - ax, t11 = v[c] - ay;
+            double det = t00 * t11 - t01 * t10;
+            if (std::fabs(det) < 1e-12) continue;
+            double inv_det = 1.0 / det;
+            int32_t x_lo = (int32_t)std::floor(std::min({ax, u[b], u[c]}));
+            int32_t y_lo = (int32_t)std::floor(std::min({ay, v[b], v[c]}));
+            int32_t x_hi = (int32_t)std::ceil(std::max({ax, u[b], u[c]})) + 1;
+            int32_t y_hi = (int32_t)std::ceil(std::max({ay, v[b], v[c]})) + 1;
+            x_lo = std::max(x_lo, 0); y_lo = std::max(y_lo, 0);
+            x_hi = std::min(x_hi, w); y_hi = std::min(y_hi, h);
+            if (x_hi <= x_lo || y_hi <= y_lo) continue;
+            double iza = 1.0 / z[a], izb = 1.0 / z[b], izc = 1.0 / z[c];
+            for (int32_t py = y_lo; py < y_hi; ++py) {
+                for (int32_t px = x_lo; px < x_hi; ++px) {
+                    double rx = px - ax, ry = py - ay;
+                    double l1 = (rx * t11 - ry * t10) * inv_det;
+                    double l2 = (-rx * t01 + ry * t00) * inv_det;
+                    double l0 = 1.0 - l1 - l2;
+                    if (l0 < -1e-9 || l1 < -1e-9 || l2 < -1e-9) continue;
+                    double iz = l0 * iza + l1 * izb + l2 * izc;
+                    double d = 1.0 / std::max(iz, 1e-12);
+                    int64_t at = (int64_t)py * w + px;
+                    if (pass == 0) {
+                        float fd = (float)d;
+                        if (depth[at] == 0.0f || fd < depth[at])
+                            depth[at] = fd;
+                    } else {
+                        double zb = depth[at];
+                        if (std::fabs(zb - d)
+                                <= 1e-4 * std::max(d, 1e-9)) {
+                            face_id[at] = fi;
+                            double w0 = l0 * iza, w1 = l1 * izb,
+                                   w2 = l2 * izc;
+                            double s = w0 + w1 + w2;
+                            bary[3 * at] = (float)(w0 / s);
+                            bary[3 * at + 1] = (float)(w1 / s);
+                            bary[3 * at + 2] = (float)(w2 / s);
+                        }
+                    }
+                }
+            }
+        }
+    }
+    delete[] z; delete[] u; delete[] v;
+}
+
+}  // extern "C"
