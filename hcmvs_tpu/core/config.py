@@ -210,6 +210,24 @@ class DenseConfig:
                                        # fallback for pathological pair
                                        # geometry or non-8/128-aligned
                                        # image sizes).
+    volume_planes: int = 128           # sigma planes in the exact-scoring
+                                       # tables (multiple of 128 — the
+                                       # Mosaic gather's lane width).
+                                       # Measured A/B at 1280x960
+                                       # fixed-FOV (1.6-3.3 px/plane at
+                                       # 128): 256 planes scored
+                                       # 0.8501 vs 128's 0.8521 —
+                                       # IDENTICAL within noise, so the
+                                       # plane density is NOT the
+                                       # accuracy limiter at reference
+                                       # scale and 128 stays the
+                                       # default.  Values > 128 route
+                                       # the table BUILD through the
+                                       # per-plane warp path (the
+                                       # rect-frame builder is 128-plane
+                                       # only) and add one select-merged
+                                       # lane gather per extra chunk to
+                                       # each lookup.
     volume_build: str = "auto"         # how the exact-scoring sigma
                                        # tables are BUILT.  "auto": the
                                        # rect-frame Pallas kernel on TPU

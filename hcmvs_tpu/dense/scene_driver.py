@@ -200,11 +200,16 @@ def init_scene_state(key: jax.Array, scene: SceneTensors) -> SceneState:
                       keys=sts.key)
 
 
-@partial(jax.jit, static_argnames=("rect_build",))
-def _build_scene_volumes(scene: SceneTensors, rect_build: bool = False):
+@partial(jax.jit, static_argnames=("rect_build", "n_chunks"))
+def _build_scene_volumes(scene: SceneTensors, rect_build: bool = False,
+                         n_chunks: int = 1):
     from hcmvs_tpu.ops.volume import (build_volume_tables,
                                       build_volume_tables_rect)
-    build = build_volume_tables_rect if rect_build else build_volume_tables
+    if rect_build:
+        build = build_volume_tables_rect          # 128-plane engine
+    else:
+        import functools as _ft
+        build = _ft.partial(build_volume_tables, n_chunks=n_chunks)
 
     def per_view(i):
         cam_i = jax.tree.map(lambda x: x[i], scene.cams)
@@ -231,7 +236,8 @@ def attach_volumes(scene: SceneTensors, cfg: DenseConfig) -> SceneTensors:
         return scene
     h, w = scene.gray.shape[1:]
     return dataclasses.replace(scene, vols=_build_scene_volumes(
-        scene, rect_build=use_rect_volume_build(cfg, h, w)))
+        scene, rect_build=use_rect_volume_build(cfg, h, w),
+        n_chunks=max(cfg.volume_planes // 128, 1)))
 
 
 def phase_cfg(cfg: DenseConfig, phase: int,

@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--geo-backend", default="auto")
     ap.add_argument("--exact-backend", default="auto")
+    ap.add_argument("--volume-planes", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -79,7 +80,8 @@ def main():
                       use_optical_flow=0, use_geo_consistency=1,
                       use_part_consistency=0, optimize=args.optimize,
                       geo_backend=args.geo_backend,
-                      exact_backend=args.exact_backend)
+                      exact_backend=args.exact_backend,
+                      volume_planes=args.volume_planes)
 
     def acc_of(depth0):
         d0 = np.asarray(depth0)

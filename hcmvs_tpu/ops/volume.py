@@ -49,6 +49,8 @@ except ImportError:  # pragma: no cover
 from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 D_PLANES = 128          # sigma planes == gather lane count (vreg width)
+TAB_DTYPE = jnp.bfloat16  # table storage dtype (bf16 halves the HBM
+                          # tenant; A/B'd against f32 — see BASELINE)
 _CHUNK = 2048           # pixel rows per kernel block (measured sweet spot)
 
 
@@ -74,23 +76,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def sigma_grid(d_min: jax.Array, d_max: jax.Array,
-               margin: float = 1.35) -> Tuple[jax.Array, jax.Array]:
+               margin: float = 1.35,
+               n_planes: int = D_PLANES) -> Tuple[jax.Array, jax.Array]:
     """(sigma0, dsigma): uniform grid over the realizable s range.
 
     Hypotheses are clamped to [0.8*d_min, 1.2*d_max] by candidate
     validity; patch obliquity scales s by (n.ray(p+delta))/(n.ray(p)),
     bounded by ``margin`` for sane tilts.  Uniform s ~ uniform disparity
     along the epipolar line (exact for in-plane motion).
+
+    ``n_planes``: total plane count (a multiple of the 128-lane chunk —
+    at reference-class fixed-FOV resolutions the epipolar span exceeds
+    128px, so 128 planes blur >1px between adjacent planes; see
+    cfg.volume_planes).
     """
     s_min = 1.0 / (1.2 * margin * d_max)
     s_max = margin / (0.8 * d_min)
-    dsig = (s_max - s_min) / (D_PLANES - 1)
+    dsig = (s_max - s_min) / (n_planes - 1)
     return s_min, dsig
 
 
 def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
                       sig0: jax.Array, dsig: jax.Array, h: int, w: int,
-                      build_step: int = 2
+                      build_step: int = 2, n_planes: int = D_PLANES
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One (ref, src) pair's table: (P_pad, D) + the valid-sigma interval.
 
@@ -119,11 +127,11 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
         return val
 
     if build_step == 1:
-        vol = jax.lax.map(plane, jnp.arange(D_PLANES, dtype=jnp.float32))
+        vol = jax.lax.map(plane, jnp.arange(n_planes, dtype=jnp.float32))
     else:
         # gather the coarse planes (include the last fine plane so the
         # grid endpoint is exact), then cubic-upsample along sigma
-        n_coarse = (D_PLANES - 1) // build_step + 1
+        n_coarse = (n_planes - 1) // build_step + 1
         coarse = jax.lax.map(
             plane, jnp.arange(n_coarse, dtype=jnp.float32) * build_step)
         cm1 = jnp.concatenate([coarse[:1], coarse[:-1]])
@@ -142,8 +150,8 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
             w3 = -0.5 * t * t + 0.5 * t ** 3
             planes.append(w0 * cm1 + w1 * coarse + w2 * cp1 + w3 * cp2)
         vol = jnp.stack(planes, axis=1).reshape(
-            n_coarse * build_step, h, w)[:D_PLANES]
-    tab = vol.reshape(D_PLANES, h * w).T.astype(jnp.bfloat16)  # (P, D)
+            n_coarse * build_step, h, w)[:n_planes]
+    tab = vol.reshape(n_planes, h * w).T.astype(TAB_DTYPE)  # (P, D)
     p_pad = _round_up(h * w, _CHUNK)
     tab = jnp.pad(tab, ((0, p_pad - h * w), (0, 0)))
 
@@ -175,26 +183,46 @@ def _intersect_sigma(cons, shape) -> Tuple[jax.Array, jax.Array]:
     return lo, hi
 
 
-def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int):
+def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int, n_chunks: int):
     """Gather+lerp: out[q, k] = lerp(tab[q, i0(f)], tab[q, i0+1], frac).
 
-    One lane-wise dynamic_gather serves both taps: indices are packed as
-    [i0 | i0+1 | safe-pad] into exactly D lanes (Mosaic requires the index
-    block to match the table block's shape).
+    One lane-wise dynamic_gather per 128-plane chunk serves both taps:
+    indices are packed as [i0 | i0+1 | safe-pad] into exactly 128 lanes
+    (Mosaic's gather is single-vreg and requires the index block to
+    match the operand block's shape); with n_chunks > 1 each chunk's
+    gather result is select-merged by index membership.
     """
     f = f_ref[...]                                     # (chunk, S)
-    i0 = jnp.clip(jnp.floor(f), 0.0, D_PLANES - 2.0)
+    d = n_chunks * D_PLANES
+    i0 = jnp.clip(jnp.floor(f), 0.0, d - 2.0)
     t = f - i0
     i0i = i0.astype(jnp.int32)
     chunk = f.shape[0]
     pad = D_PLANES - 2 * s
-    idx = jnp.concatenate(
-        [i0i, i0i + 1,
-         jnp.zeros((chunk, pad), jnp.int32)], axis=1)  # (chunk, D)
-    g = jnp.take_along_axis(tab_ref[...].astype(jnp.float32), idx,
-                            axis=1)
-    g0 = g[:, :s]
-    g1 = g[:, s:2 * s]
+    tabf = tab_ref[...].astype(jnp.float32)
+    if n_chunks == 1:
+        idx = jnp.concatenate(
+            [i0i, i0i + 1,
+             jnp.zeros((chunk, pad), jnp.int32)], axis=1)  # (chunk, D)
+        g = jnp.take_along_axis(tabf, idx, axis=1)
+        g0 = g[:, :s]
+        g1 = g[:, s:2 * s]
+    else:
+        g0 = jnp.zeros((chunk, s), jnp.float32)
+        g1 = jnp.zeros((chunk, s), jnp.float32)
+        for c in range(n_chunks):
+            r0 = i0i - c * D_PLANES
+            r1 = r0 + 1
+            idx = jnp.concatenate(
+                [jnp.clip(r0, 0, D_PLANES - 1),
+                 jnp.clip(r1, 0, D_PLANES - 1),
+                 jnp.zeros((chunk, pad), jnp.int32)], axis=1)
+            g = jnp.take_along_axis(
+                tabf[:, c * D_PLANES:(c + 1) * D_PLANES], idx, axis=1)
+            in0 = (r0 >= 0) & (r0 < D_PLANES)
+            in1 = (r1 >= 0) & (r1 < D_PLANES)
+            g0 = jnp.where(in0, g[:, :s], g0)
+            g1 = jnp.where(in1, g[:, s:2 * s], g1)
     out_ref[...] = g0 + (g1 - g0) * t
 
 
@@ -202,22 +230,25 @@ def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int):
 def volume_lookup(tab: jax.Array, f: jax.Array,
                   interpret: bool = False) -> jax.Array:
     """Lerp-sample per-pixel tables: tab (P_pad, D), f (P_pad, S) ->
-    (P_pad, S) values.  S must be <= D/2 (both lerp taps ride one
-    gather)."""
+    (P_pad, S) values.  D is a multiple of 128; S must be <= 64 (both
+    lerp taps of a chunk ride one gather)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     p_pad, d = tab.shape
     s = f.shape[1]
-    assert d == D_PLANES and 2 * s <= d and p_pad % _CHUNK == 0
-    grid = p_pad // _CHUNK
+    n_chunks = d // D_PLANES
+    assert d % D_PLANES == 0 and 2 * s <= D_PLANES
+    block = _CHUNK if n_chunks <= 2 else _CHUNK // 2
+    assert p_pad % block == 0
+    grid = p_pad // block
     return pl.pallas_call(
-        functools.partial(_lookup_kernel, s=s),
+        functools.partial(_lookup_kernel, s=s, n_chunks=n_chunks),
         grid=(grid,),
-        in_specs=[pl.BlockSpec((_CHUNK, d), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((_CHUNK, s), lambda i: (i, 0),
+                  pl.BlockSpec((block, s), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_CHUNK, s), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block, s), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, s), jnp.float32),
         interpret=interpret,
@@ -226,7 +257,7 @@ def volume_lookup(tab: jax.Array, f: jax.Array,
 
 def volume_lookup_xla(tab: jax.Array, f: jax.Array) -> jax.Array:
     """Pure-XLA fallback (CPU tests / non-TPU backends)."""
-    i0 = jnp.clip(jnp.floor(f), 0.0, D_PLANES - 2.0)
+    i0 = jnp.clip(jnp.floor(f), 0.0, tab.shape[1] - 2.0)
     t = f - i0
     i0i = i0.astype(jnp.int32)
     tab = tab.astype(jnp.float32)
@@ -236,18 +267,25 @@ def volume_lookup_xla(tab: jax.Array, f: jax.Array) -> jax.Array:
 
 
 def build_volume_tables(geom, src_grays: jax.Array, d_min: jax.Array,
-                        d_max: jax.Array) -> VolumeTables:
+                        d_max: jax.Array,
+                        n_chunks: int = 1) -> VolumeTables:
     """All neighbor views' tables for one reference view.
 
     ``geom`` is a dense.types.ViewGeometry (batched V); ``src_grays``
     (V, H, W).  Built once per stage — images and geometry are fixed
     across every sweep/candidate/external iteration.
+
+    ``n_chunks``: sigma planes = n_chunks * 128 (cfg.volume_planes) —
+    denser grids for reference-class fixed-FOV resolutions where one
+    128-plane grid spans >1px per plane.
     """
     v, h, w = src_grays.shape
-    sig0, dsig = sigma_grid(d_min, d_max)
+    n_planes = n_chunks * D_PLANES
+    sig0, dsig = sigma_grid(d_min, d_max, n_planes=n_planes)
 
     def per_view(A, wv, src):
-        return build_view_volume(A, wv, src, sig0, dsig, h, w)
+        return build_view_volume(A, wv, src, sig0, dsig, h, w,
+                                 n_planes=n_planes)
 
     if h * w > 640 * 480:
         # large images: serialize the neighbor axis — the vmapped build
@@ -287,8 +325,11 @@ _RG_Y_SCALE = 2.0       # cross-epipolar oversampling (see
 
 def use_rect_volume_build(cfg, h: int, w: int) -> bool:
     """Whether stage tables are built through the rect-frame kernel
-    (unaligned sizes are tile-padded internally)."""
+    (unaligned sizes are tile-padded internally; multi-chunk plane
+    grids — cfg.volume_planes > 128 — use the per-plane warp build)."""
     del h, w
+    if getattr(cfg, "volume_planes", 128) > D_PLANES:
+        return False
     if cfg.volume_build == "rect":
         return True
     return (cfg.volume_build == "auto" and cfg.use_pallas
@@ -566,7 +607,7 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
           jnp.swapaxes(rowf_g, -1, -2), jnp.swapaxes(c0w_g, -1, -2),
           jnp.swapaxes(kp_g, -1, -2))
 
-    tab = tabs.reshape(v, n_tiles * 1024, D_PLANES).astype(jnp.bfloat16)
+    tab = tabs.reshape(v, n_tiles * 1024, D_PLANES).astype(TAB_DTYPE)
     p_pad = _round_up(n_tiles * 1024, _CHUNK)
     tab = jnp.pad(tab, ((0, 0), (0, p_pad - n_tiles * 1024), (0, 0)))
 

@@ -207,5 +207,9 @@ def test_run_pipeline_sgm_preset(tmp_path):
         sfm_cfg=SfMConfig(max_keypoints=512, min_matches=20,
                           min_pnp_inliers=10, ba_every=2),
         dense_cfg=CFG, fusion_mode=-1, verbose=False)
-    assert len(out["cloud"]["points"]) > 200
+    # the per-pair LR cross-check (round 3) rejects pixels the reverse
+    # match cannot verify — under SfM pose noise that thins the cloud
+    # (200+ -> ~150 here) by design, trading density for verification
+    # exactly like the reference's in-Match LR invalidation
+    assert len(out["cloud"]["points"]) > 120
     assert os.path.exists(str(tmp_path / "out" / "scene_dense.ply"))

@@ -220,3 +220,52 @@ def test_rect_build_unaligned_size():
         rel = np.abs(d0[ok] - gt[ok]) / gt[ok]
         accs[vb] = (rel < 0.02).mean()
     assert accs["rect"] > accs["planes"] - 0.02, accs
+
+
+def test_lookup_kernel_multichunk_matches_xla():
+    """The select-merged multi-chunk lane gather (cfg.volume_planes > 128)
+    must agree with the plain XLA lerp for D = 256 and 384, including
+    lookups whose two taps straddle a chunk boundary."""
+    from hcmvs_tpu.ops.volume import _CHUNK, volume_lookup, volume_lookup_xla
+    rng = np.random.default_rng(0)
+    for d in (256, 384):
+        p = _CHUNK * 2
+        tab = jnp.asarray(rng.random((p, d)), jnp.float32)
+        f = jnp.asarray(rng.random((p, 24)) * (d - 1), jnp.float32)
+        # force some straddles: f exactly at chunk edges
+        f = f.at[:, 0].set(127.5).at[:, 1].set(255.0 - 0.25)
+        ref = volume_lookup_xla(tab, f)
+        out = volume_lookup(tab, f, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_volume_scores_multichunk_parity():
+    """256-plane tables (volume_planes=256) reproduce the direct bilinear
+    exact scores at least as tightly as the 128-plane grid (double
+    density can only shrink the lerp residual)."""
+    from hcmvs_tpu.dense import score as S
+    from hcmvs_tpu.ops.volume import build_volume_tables
+    sc, cfg, geom, src, stats, hw_map, offsets, rays = _ctx_inputs()
+    h, w = sc.depth_gt.shape
+    rng = np.random.default_rng(2)
+    depth = jnp.asarray(sc.depth_gt * (1 + 0.01 * rng.standard_normal(
+        sc.depth_gt.shape)), jnp.float32)
+    normal = jnp.broadcast_to(
+        jnp.asarray(sc.normal_gt, jnp.float32)[:, None, None], (3, h, w))
+    s_ref, bad_ref = S.photometric_scores(
+        geom, src, stats, hw_map, depth, normal, rays, offsets, cfg)
+    meds = {}
+    for chunks in (1, 2):
+        vol = build_volume_tables(geom, src, jnp.float32(sc.d_min),
+                                  jnp.float32(sc.d_max), n_chunks=chunks)
+        s_vol, bad_vol = S.photometric_scores_volume(
+            geom, vol, stats, hw_map, depth, normal, rays, offsets,
+            cfg.replace(volume_planes=128 * chunks))
+        both = ~(np.asarray(bad_ref) | np.asarray(bad_vol))
+        m = both[:, 6:-6, 6:-6]
+        d = np.abs(np.asarray(s_ref) - np.asarray(s_vol))[:, 6:-6, 6:-6][m]
+        assert m.mean() > 0.8
+        meds[chunks] = np.median(d)
+    assert meds[2] <= meds[1] * 1.05, meds
+    assert meds[2] < 0.01, meds
