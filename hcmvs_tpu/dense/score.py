@@ -431,7 +431,12 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
             v3 = from_volume_order(out2[:p_used].T, h, w)
         else:
             v3 = out2[:p_used].T.reshape(s_count, h, w)
-        ok3 = (fwd >= lo_v[None]) & (fwd <= hi_v[None])
+        # validity: the analytic in-image sigma interval AND the grid's
+        # own range — beyond-grid sigmas would otherwise silently clamp
+        # onto the edge plane's intensity (wrong value, not invalid)
+        sig_hi_grid = vol.sig0[0] + (tab_v.shape[1] - 1) / vol.inv_dsig[0]
+        ok3 = ((fwd >= lo_v[None]) & (fwd <= hi_v[None])
+               & (fwd >= vol.sig0[0]) & (fwd <= sig_hi_grid))
         # consumption shift: center p reads sample row p + delta (zero
         # validity at borders where the sample pixel falls off-image)
         v3p = jnp.pad(v3, ((0, 0), (pad, pad), (pad, pad)))

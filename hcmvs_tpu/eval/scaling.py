@@ -63,8 +63,49 @@ def run(h: int = 64, w: int = 96, n_views: int = 8,
     return report
 
 
+def run_multiprocess(reps: int = 5, timeout: int = 900) -> dict:
+    """Cross-PROCESS overhead: the mh_check schedule (sweeps + filter +
+    fusion on an 8-view scene) timed under 2 processes x 4 devices, where
+    the view-axis collectives cross process boundaries over Gloo — the
+    CI-measurable analog of the DCN hop on a multi-host pod (SURVEY
+    §5.8).  Returns per-rep wall seconds reported by process 0."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "-m", "hcmvs_tpu.parallel.mh_check",
+             "--process-id", str(pid), "--num-processes", "2",
+             "--port", str(port), "--bench-reps", str(reps)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=repo)
+
+    procs = [spawn(0), spawn(1)]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    m = re.search(r"MHBENCH wall_s=([0-9.]+)", outs[0])
+    ok = "MHCHECK OK" in outs[0]
+    return {"wall_s_2proc_4dev": float(m.group(1)) if m else None,
+            "value_check": "OK" if ok else "FAIL"}
+
+
 def main():
-    print(json.dumps(run()))
+    import sys
+    out = run()
+    if "--multiprocess" in sys.argv:
+        out.update(run_multiprocess())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

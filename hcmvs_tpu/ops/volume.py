@@ -49,8 +49,17 @@ except ImportError:  # pragma: no cover
 from hcmvs_tpu.ops.sampling import bilinear_sample_xy
 
 D_PLANES = 128          # sigma planes == gather lane count (vreg width)
-TAB_DTYPE = jnp.bfloat16  # table storage dtype (bf16 halves the HBM
-                          # tenant; A/B'd against f32 — see BASELINE)
+TAB_DTYPE = jnp.uint16  # table storage encoding.  uint16 = fixed-point
+                        # intensities (v * 65535): quantum 1.5e-5, far
+                        # below image noise, at bf16's 2-byte footprint.
+                        # bf16's ~2^-9 absolute quantum measurably
+                        # blunted ZNCC discrimination at reference
+                        # scale: 1280x960 fixed-FOV ridge scored 0.8521
+                        # (bf16) vs 0.8968 (f32); u16 must match f32
+                        # (quantum 30x finer than bf16) — measured
+                        # number in BASELINE.md round 3.  jnp.float32 trades
+                        # 2x table HBM for nothing over u16; Mosaic has
+                        # no f16.
 _CHUNK = 2048           # pixel rows per kernel block (measured sweet spot)
 
 
@@ -73,6 +82,22 @@ class VolumeTables(NamedTuple):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _encode_tab(x: jax.Array) -> jax.Array:
+    """Encode intensities into the storage dtype (see TAB_DTYPE)."""
+    if TAB_DTYPE == jnp.uint16:
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    return x.astype(TAB_DTYPE)
+
+
+def _decode_tab(x: jax.Array) -> jax.Array:
+    """Upcast/decode a table tile to f32 (works inside Mosaic kernels:
+    integer-to-float converts and multiplies are plain VPU ops)."""
+    if x.dtype == jnp.uint16:
+        # Mosaic has no direct u16->f32 cast; hop through int32
+        return x.astype(jnp.int32).astype(jnp.float32) * (1.0 / 65535.0)
+    return x.astype(jnp.float32)
 
 
 def sigma_grid(d_min: jax.Array, d_max: jax.Array,
@@ -151,7 +176,7 @@ def build_view_volume(A: jax.Array, wv: jax.Array, src_gray: jax.Array,
             planes.append(w0 * cm1 + w1 * coarse + w2 * cp1 + w3 * cp2)
         vol = jnp.stack(planes, axis=1).reshape(
             n_coarse * build_step, h, w)[:n_planes]
-    tab = vol.reshape(n_planes, h * w).T.astype(TAB_DTYPE)  # (P, D)
+    tab = _encode_tab(vol.reshape(n_planes, h * w).T)  # (P, D)
     p_pad = _round_up(h * w, _CHUNK)
     tab = jnp.pad(tab, ((0, p_pad - h * w), (0, 0)))
 
@@ -199,7 +224,7 @@ def _lookup_kernel(tab_ref, f_ref, out_ref, *, s: int, n_chunks: int):
     i0i = i0.astype(jnp.int32)
     chunk = f.shape[0]
     pad = D_PLANES - 2 * s
-    tabf = tab_ref[...].astype(jnp.float32)
+    tabf = _decode_tab(tab_ref[...])
     if n_chunks == 1:
         idx = jnp.concatenate(
             [i0i, i0i + 1,
@@ -260,7 +285,7 @@ def volume_lookup_xla(tab: jax.Array, f: jax.Array) -> jax.Array:
     i0 = jnp.clip(jnp.floor(f), 0.0, tab.shape[1] - 2.0)
     t = f - i0
     i0i = i0.astype(jnp.int32)
-    tab = tab.astype(jnp.float32)
+    tab = _decode_tab(tab)
     g0 = jnp.take_along_axis(tab, i0i, axis=1)
     g1 = jnp.take_along_axis(tab, i0i + 1, axis=1)
     return g0 + (g1 - g0) * t
@@ -607,7 +632,7 @@ def build_volume_tables_rect(geom, src_grays: jax.Array, d_min: jax.Array,
           jnp.swapaxes(rowf_g, -1, -2), jnp.swapaxes(c0w_g, -1, -2),
           jnp.swapaxes(kp_g, -1, -2))
 
-    tab = tabs.reshape(v, n_tiles * 1024, D_PLANES).astype(TAB_DTYPE)
+    tab = _encode_tab(tabs.reshape(v, n_tiles * 1024, D_PLANES))
     p_pad = _round_up(n_tiles * 1024, _CHUNK)
     tab = jnp.pad(tab, ((0, 0), (0, p_pad - n_tiles * 1024), (0, 0)))
 

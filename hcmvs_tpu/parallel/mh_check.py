@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--devices-per-process", type=int, default=4)
     ap.add_argument("--cache-dir", default=os.environ.get(
         "HCMVS_TEST_CACHE", "/tmp/hcmvs_test_jax_cache"))
+    ap.add_argument("--bench-reps", type=int, default=0,
+                    help="also time N reps of the sharded schedule and "
+                         "print an MHBENCH line (cross-process "
+                         "collective-overhead measurement)")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -111,6 +115,21 @@ def main() -> int:
     depth_g = D.fetch(state_out.depth)
     pts_g = D.fetch(fused_out["points"])
     keep_g = D.fetch(fused_out["keep"])
+
+    if args.bench_reps:
+        # cross-process collective overhead: barrier, then time reps of
+        # the same global executable (Gloo carries the view-axis traffic
+        # that DCN would carry on a pod)
+        import time
+        with jax.set_mesh(mesh):
+            multihost_utils.sync_global_devices("hcmvs_mh_bench0")
+            t0 = time.perf_counter()
+            for _ in range(args.bench_reps):
+                st_b, fu_b = compiled(state_g, scene_g, vids_g)
+                jax.block_until_ready(st_b.depth)
+            wall = (time.perf_counter() - t0) / args.bench_reps
+        print(f"MHBENCH wall_s={wall:.3f} reps={args.bench_reps} "
+              f"procs={args.num_processes}", flush=True)
 
     # single-device reference (local device 0; no collectives).  BOTH
     # processes compute it so they reach distributed shutdown together

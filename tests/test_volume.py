@@ -156,12 +156,13 @@ def test_rect_build_matches_planes_build():
     # a bilinear resample of it (one extra lerp): tolerance is image-
     # noise scale, not exact.
     p = h * w
-    tabs_p = np.asarray(volp.tab[:, :p].astype(jnp.float32))
+    from hcmvs_tpu.ops.volume import _decode_tab
+    tabs_p = np.asarray(_decode_tab(volp.tab[:, :p]))
     # rect tab rows are in to_volume_order; un-permute for comparison
     perm = np.asarray(to_volume_order(
         jnp.arange(p).reshape(h, w))).astype(int)
     tabs_r = np.zeros_like(tabs_p)
-    tabs_r[:, perm] = np.asarray(volr.tab[:, :p].astype(jnp.float32))
+    tabs_r[:, perm] = np.asarray(_decode_tab(volr.tab[:, :p]))
     sig0 = float(volp.sig0[0])
     dsig = 1.0 / float(volp.inv_dsig[0])
     agree = []
