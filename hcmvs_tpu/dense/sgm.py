@@ -337,12 +337,18 @@ def sgm_scene(scene, cfg=None, n_depths: int = 64, n_pairs: int = 0,
                 # reverse-direction match (src as reference) for the LR
                 # cross-check — SemiGlobalMatcher.cpp:530's rectified
                 # check, done in depth space
-                cam_j = jax.tree.map(lambda x: x[scene.nbr_idx[i][j]],
-                                     scene.cams)
+                nbr = scene.nbr_idx[i][j]
+                cam_j = jax.tree.map(lambda x: x[nbr], scene.cams)
                 cam_i1 = jax.tree.map(lambda x: x[None], cam_i)
                 geom_rev = make_view_geometry(cam_j, cam_i1)
+                # reverse match sweeps the SOURCE view's depth, so its
+                # range must cover the source view — use the union of
+                # both views' ranges (the reference's per-view dMin/dMax)
                 d_rev, _ = sgm_match(geom_rev, src_gray, scene.gray[i],
-                                     scene.d_min[i], scene.d_max[i],
+                                     jnp.minimum(scene.d_min[i],
+                                                 scene.d_min[nbr]),
+                                     jnp.maximum(scene.d_max[i],
+                                                 scene.d_max[nbr]),
                                      n_depths)
                 ok = lr_consistency(geom_j, d, d_rev, dsig=dsig_i)
                 d = jnp.where(ok, d, 0.0)

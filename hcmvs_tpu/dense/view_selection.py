@@ -206,7 +206,12 @@ def global_pair_assignment(score: np.ndarray, max_candidates: int = 8,
         starts.insert(0, _trws_labels(cand, unary, same_cost, back, edges,
                                       n_iters))
         rr = np.random.default_rng(1234)     # deterministic restarts
-        starts += [rr.integers(0, k + 1, n) for _ in range(8)]
+        # cap the restart ensemble by problem size: each ICM restart is
+        # O(n_iters * n * k), and at hundreds of images the TRW-S start
+        # alone is already near-exact (solver='icm' stays the large-scene
+        # escape hatch)
+        n_restarts = 8 if n <= 128 else 2
+        starts += [rr.integers(0, k + 1, n) for _ in range(n_restarts)]
     best_assign, best_e = None, np.inf
     for l0 in starts:
         a = to_assign(icm(l0))
@@ -239,13 +244,6 @@ def _trws_labels(cand, unary, same_cost, back, edges, n_iters):
         hi = sum(1 for j in nbrs[i] if j > i)
         gamma[i] = 1.0 / max(lo, hi, 1)
 
-    def theta_col(i, j, lj):
-        """theta_ij(:, lj) as a (K+1,) vector."""
-        col = np.zeros(kp1)
-        if lj < k and cand[j][lj] == i and back[i, j] >= 0:
-            col[back[i, j]] = same_cost
-        return col
-
     for _ in range(n_iters):
         for order, ahead in ((range(n), 1), (range(n - 1, -1, -1), -1)):
             for i in order:
@@ -256,9 +254,18 @@ def _trws_labels(cand, unary, same_cost, back, edges, n_iters):
                     if (j - i) * ahead <= 0:
                         continue
                     base = gamma[i] * th - msg[(j, i)]
-                    out = np.empty(kp1)
-                    for lj in range(kp1):
-                        out[lj] = np.min(base + theta_col(i, j, lj))
+                    # theta_ij has a single nonzero entry (li=back[i,j],
+                    # lj=back[j,i] -> same_cost), so the min over li is
+                    # the plain min everywhere except at lj0=back[j,i],
+                    # where base[li0] pays the penalty — O(K), not O(K^2)
+                    m = base.min()
+                    out = np.full(kp1, m)
+                    lj0 = back[j, i]
+                    li0 = back[i, j]
+                    if lj0 >= 0 and li0 >= 0:
+                        bumped = base.copy()
+                        bumped[li0] += same_cost
+                        out[lj0] = bumped.min()
                     msg[(i, j)] = out - out.min()
 
     # forward conditioning readout

@@ -44,8 +44,10 @@ void hcmvs_rasterize(int32_t nv, int32_t nf, const double* V,
     }
     const int64_t npx = (int64_t)h * w;
     for (int64_t p = 0; p < npx; ++p) depth[p] = 0.0f;
+    // face_id sentinel is unconditional: a depth-only caller must not
+    // read face 0 as covering every empty pixel
+    for (int64_t p = 0; p < npx; ++p) face_id[p] = -1;
     if (with_attrs) {
-        for (int64_t p = 0; p < npx; ++p) face_id[p] = -1;
         for (int64_t p = 0; p < 3 * npx; ++p) bary[p] = 0.0f;
     }
 

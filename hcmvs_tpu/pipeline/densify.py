@@ -54,8 +54,13 @@ def find_scene_masks(scene: SceneMVS, images_dir: str,
         cand: List[str] = []
         if getattr(im, "mask_name", ""):
             m = im.mask_name
-            cand.append(m if os.path.isabs(m)
-                        else os.path.join(images_dir, os.path.basename(m)))
+            if os.path.isabs(m):
+                cand.append(m)
+            else:
+                # full relative path first (masks recorded as e.g.
+                # "masks/im0.png" relative to the scene), basename fallback
+                cand.append(os.path.join(images_dir, m))
+                cand.append(os.path.join(images_dir, os.path.basename(m)))
         if masks_dir:
             cand += [os.path.join(masks_dir, stem + e) for e in exts]
             cand.append(os.path.join(masks_dir, os.path.basename(im.name)))

@@ -191,7 +191,19 @@ def detect_and_describe_pyramid(gray: jax.Array,
     # shapes (and the strongest features win regardless of octave)
     k = min(max_keypoints, kps.score.shape[0])
     _, order = jax.lax.top_k(kps.score, k)
-    return Keypoints(*(getattr(kps, f)[order] for f in Keypoints._fields))
+    kps = Keypoints(*(getattr(kps, f)[order] for f in Keypoints._fields))
+    if k < max_keypoints:
+        # honor the K = max_keypoints contract even when the int-split
+        # budget or the small-image early break shrinks the pool: pad
+        # with masked (score <= 0) entries like the base detector's
+        pad = max_keypoints - k
+        kps = Keypoints(
+            xy=jnp.pad(kps.xy, ((0, pad), (0, 0))),
+            score=jnp.pad(kps.score, (0, pad), constant_values=-1.0),
+            scale=jnp.pad(kps.scale, (0, pad), constant_values=1.0),
+            angle=jnp.pad(kps.angle, (0, pad)),
+            desc=jnp.pad(kps.desc, ((0, pad), (0, 0))))
+    return kps
 
 
 def _bilinear_at(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
