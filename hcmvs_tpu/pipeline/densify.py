@@ -144,7 +144,8 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
             init_state_maps=None, verbose: bool = True,
             resume: bool = True,
             filter_point_cloud: Optional[int] = None,
-            masks_dir: Optional[str] = None) -> Dict:
+            masks_dir: Optional[str] = None,
+            fusion_mode: int = 0) -> Dict:
     """Full densification of a `.mvs` scene; returns summary stats.
 
     ``resume``: when every per-view ``depth%04d.dmap`` already exists in
@@ -153,6 +154,11 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
     DenseReconstructionEstimate, SceneDensify.cpp:3865-3880).
     ``filter_point_cloud``: when set, run the visibility filter on the
     fused cloud with this threshold (the --filter-point-cloud mode).
+    ``fusion_mode`` mirrors the reference app's dispatch (ref:
+    DensifyPointCloud.cpp:154 + the |mode|==1 early exit at :436-441):
+    0 = PatchMatch depth maps + fusion; 1 = PatchMatch depth maps only
+    (export .dmap, skip fusion); -1 = SGM stereo maps only; -2 = SGM
+    stereo maps + fusion.
     """
     from hcmvs_tpu.utils.profiling import stage_timer
     cfg = cfg or DenseConfig()
@@ -218,6 +224,12 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
         normal = jnp.stack([jnp.asarray(np.moveaxis(d.normal, -1, 0))
                             for d in loaded])
         conf = jnp.stack([jnp.asarray(d.conf) for d in loaded])
+    elif fusion_mode < 0:
+        # SGM stereo path (ref: SceneDensify.cpp:3899-3911 sgm.Match
+        # dispatch when nFusionMode -1/-2)
+        from hcmvs_tpu.dense.sgm import sgm_scene
+        with stage_timer("densify.sgm", log=verbose):
+            depth, normal, conf = sgm_scene(tensors)
     else:
         with stage_timer("densify.estimate", log=verbose):
             state = estimate_scene(jax.random.PRNGKey(0), tensors, cfg,
@@ -251,6 +263,13 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
                        image_size=(w, h),
                        image_name=scene.images[i].name,
                        view_ids=[i] + list(np.asarray(tensors.nbr_idx[i]))))
+
+    if abs(fusion_mode) == 1:
+        # export-only modes stop after the .dmap artifacts (ref: the
+        # ABS(nFusionMode)==1 early exit, DensifyPointCloud.cpp:436-441)
+        return {"n_views": n, "wall_s": wall, "views_per_s": n / wall,
+                "n_points": 0, "valid_frac": float((depth_np > 0).mean()),
+                "depth": depth_np, "normal": normal_np, "conf": conf_np}
 
     # fuse to a point cloud
     priority = jnp.asarray(np.argsort(np.argsort(
@@ -320,6 +339,10 @@ def main(argv=None):
     ap.add_argument("--filter-point-cloud", type=int, default=None,
                     help="visibility-filter threshold (ref: negative "
                          "values, e.g. -1)")
+    ap.add_argument("--fusion-mode", type=int, default=0,
+                    help="-2 fuse SGM maps, -1 export SGM maps only, "
+                         "0 depth-maps & fusion, 1 export depth-maps "
+                         "only (ref: DensifyPointCloud.cpp:154)")
     ap.add_argument("--no-resume", action="store_true",
                     help="re-estimate even if depth*.dmap files exist")
     ap.add_argument("--masks-dir", default=None,
@@ -337,7 +360,8 @@ def main(argv=None):
     stats = densify(args.input_file, images_dir, args.working_dir, cfg,
                     resume=not args.no_resume,
                     filter_point_cloud=args.filter_point_cloud,
-                    masks_dir=args.masks_dir)
+                    masks_dir=args.masks_dir,
+                    fusion_mode=args.fusion_mode)
     if args.export_viewer:
         from hcmvs_tpu.io.ply import read_ply
         from hcmvs_tpu.io.viewer import export_viewer_html

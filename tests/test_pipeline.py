@@ -83,6 +83,35 @@ def test_densify_driver_end_to_end(scene, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "scene_dense.ply"))
 
 
+def test_densify_fusion_modes(scene, tmp_path):
+    """The app-level --fusion-mode dispatch (ref: DensifyPointCloud.cpp:154
+    and the ABS(mode)==1 export-only early exit at :436-441)."""
+    scene_path, img_dir = _write_scene(tmp_path, scene)
+    # mode 1: PatchMatch depth maps only, no fusion artifacts
+    out1 = str(tmp_path / "mode1")
+    s1 = densify(scene_path, img_dir, out1, CFG, verbose=False,
+                 fusion_mode=1)
+    assert s1["n_points"] == 0
+    assert os.path.exists(os.path.join(out1, "depthmap", "depth0000.dmap"))
+    assert not os.path.exists(os.path.join(out1, "scene_dense.ply"))
+    assert not os.path.exists(os.path.join(out1, "scene_dense.mvs"))
+    assert s1["valid_frac"] > 0.5
+    # mode -2: SGM stereo maps + fusion -> cloud artifacts present
+    out2 = str(tmp_path / "mode-2")
+    s2 = densify(scene_path, img_dir, out2, CFG, verbose=False,
+                 fusion_mode=-2)
+    assert s2["valid_frac"] > 0.2
+    assert s2["n_points"] > 50
+    assert os.path.exists(os.path.join(out2, "scene_dense.ply"))
+    # mode -1: SGM export only
+    out3 = str(tmp_path / "mode-1")
+    s3 = densify(scene_path, img_dir, out3, CFG, verbose=False,
+                 fusion_mode=-1)
+    assert s3["n_points"] == 0
+    assert os.path.exists(os.path.join(out3, "depthmap", "depth0000.dmap"))
+    assert not os.path.exists(os.path.join(out3, "scene_dense.ply"))
+
+
 def test_hierarchy_schedule_structure():
     sched = default_schedule(CFG)
     assert [s.level for s in sched] == [3, 2, 2, 1, 1]
