@@ -284,3 +284,15 @@ def generate_priors(gray: jax.Array, depth: jax.Array, rays: jax.Array,
                                     min_inlier_frac=0.5)
         prior = jnp.where(sem_prior > 0, sem_prior, prior)
     return prior
+
+
+def merge_final_prior(ext_prior: jax.Array,
+                      super_prior: jax.Array) -> jax.Array:
+    """GenerateFinalPrior merge of the externally-ingested (meanshift
+    analog) prior channel with the superpixel/semantic prior channel
+    (ref: SceneDensify.cpp:1129-1146): per pixel, both zero -> zero;
+    external zero -> superpixel prior; external nonzero -> the external
+    prior WINS (the reference's else-branch takes meanshiftpriors over
+    superpriors whenever the meanshift value is nonzero)."""
+    return jnp.where(ext_prior > 0, ext_prior,
+                     jnp.where(super_prior > 0, super_prior, 0.0))

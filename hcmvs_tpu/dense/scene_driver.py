@@ -53,6 +53,12 @@ class SceneTensors:
     seed_depth: Optional[jax.Array] = None   # (N, H, W) sparse-splat init
     flows: Optional[jax.Array] = None        # (N, 2, H, W) ref->best nbr
     prior_depth: Optional[jax.Array] = None  # (N, H, W)
+    ext_prior_depth: Optional[jax.Array] = None  # (N, H, W) externally
+                                       # ingested prior maps (the meanshift
+                                       # channel, DepthMap.h:294-297 /
+                                       # --priors-dir); merged with the
+                                       # superpixel prior by
+                                       # compute_scene_priors
     semantic: Optional[jax.Array] = None     # (N, H, W) int32 mask labels
     inject_depth: Optional[jax.Array] = None   # (N, H, W) cross-scale maps
     inject_normal: Optional[jax.Array] = None  # (N, 3, H, W) for injection
@@ -264,10 +270,15 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
         use_nbr = phase >= 1
         # planar priors computed one iteration before the last, feeding the
         # final sweeps (ref: GenerateDepthPrior at it_external == n-2 + two
-        # extra prior-guided iterations, SceneDensify.cpp:983-1031)
-        if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
+        # extra prior-guided iterations, SceneDensify.cpp:983-1031).  An
+        # external prior channel (--priors-dir, the meanshift analog)
+        # activates the pass even without use_semantic, exactly like the
+        # reference's GenerateFinalPrior merge (SceneDensify.cpp:1079-1161)
+        if (cfg.use_semantic or scene.ext_prior_depth is not None) \
+                and it_ext == max(n_ext - 2, 1) \
                 and scene.prior_depth is None:
-            scene = compute_scene_priors(state, scene)
+            scene = compute_scene_priors(state, scene,
+                                         with_super=cfg.use_semantic)
         inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
                   and scene.inject_depth is not None)
         state = scene_sweeps(state, scene,
@@ -302,13 +313,28 @@ def _priors_batched(key: jax.Array, gray: jax.Array, depth: jax.Array,
 
 
 def compute_scene_priors(state: SceneState,
-                         scene: SceneTensors) -> SceneTensors:
+                         scene: SceneTensors,
+                         with_super: bool = True) -> SceneTensors:
     """Attach per-view planar-prior depth maps to the scene (with the
-    semantic-mask RANSAC path when masks are present — nUseSemantic)."""
-    n_sem = (int(jnp.max(scene.semantic)) + 1
-             if scene.semantic is not None else 0)
-    priors = _priors_batched(jax.random.PRNGKey(7), scene.gray, state.depth,
-                             scene.cams, scene.semantic, n_sem)
+    semantic-mask RANSAC path when masks are present — nUseSemantic).
+
+    When the scene carries an external prior channel (ext_prior_depth,
+    the meanshift-analog maps fed by --priors-dir), the two channels are
+    merged per pixel with GenerateFinalPrior's semantics — external wins
+    where nonzero, superpixel/semantic fills the rest (ref:
+    SceneDensify.cpp:1079-1161).  ``with_super=False`` skips the
+    superpixel RANSAC pass and feeds the external channel alone."""
+    from hcmvs_tpu.dense.priors import merge_final_prior
+    if with_super:
+        n_sem = (int(jnp.max(scene.semantic)) + 1
+                 if scene.semantic is not None else 0)
+        priors = _priors_batched(jax.random.PRNGKey(7), scene.gray,
+                                 state.depth, scene.cams, scene.semantic,
+                                 n_sem)
+        if scene.ext_prior_depth is not None:
+            priors = merge_final_prior(scene.ext_prior_depth, priors)
+    else:
+        priors = scene.ext_prior_depth
     return dataclasses.replace(scene, prior_depth=priors)
 
 

@@ -88,6 +88,37 @@ def load_scene_masks(mask_paths: List[Optional[str]],
     return inv.reshape(stack.shape).astype(np.int32)
 
 
+def load_prior_maps(priors_dir: str, scene: SceneMVS,
+                    shape_hw) -> Optional[np.ndarray]:
+    """Ingest externally produced prior depth maps (the reference's
+    meanshift prior channel — ref: GenerateFinalPrior LoadDepthMap of
+    ComposeMeanshiftDepthPriorsPath, SceneDensify.cpp:1088-1100, channel
+    DepthMap.h:294-297).
+
+    Per image, looks for ``depth%04d.dmap`` (the stage-handoff naming)
+    or ``<image-stem>.dmap`` in ``priors_dir``; maps are resized to the
+    working resolution with nearest-neighbor (zero = no-prior holes must
+    not bleed into neighboring pixels).  Returns (N, H, W) float32 or
+    None when no prior file exists."""
+    from hcmvs_tpu.io.dmap import read_dmap
+    h, w = shape_hw
+    out = np.zeros((len(scene.images), h, w), np.float32)
+    found = False
+    for i, im in enumerate(scene.images):
+        stem = os.path.splitext(os.path.basename(im.name))[0]
+        cand = [os.path.join(priors_dir, f"depth{i:04d}.dmap"),
+                os.path.join(priors_dir, stem + ".dmap")]
+        path = next((c for c in cand if os.path.exists(c)), None)
+        if path is None:
+            continue
+        d = read_dmap(path).depth
+        ys = (np.arange(h) * (d.shape[0] / h)).astype(np.int64)
+        xs = (np.arange(w) * (d.shape[1] / w)).astype(np.int64)
+        out[i] = d[ys[:, None], xs[None, :]]
+        found = True
+    return out if found else None
+
+
 def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
                         cfg: DenseConfig,
                         flows: Optional[np.ndarray] = None,
@@ -145,7 +176,8 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
             resume: bool = True,
             filter_point_cloud: Optional[int] = None,
             masks_dir: Optional[str] = None,
-            fusion_mode: int = 0) -> Dict:
+            fusion_mode: int = 0,
+            priors_dir: Optional[str] = None) -> Dict:
     """Full densification of a `.mvs` scene; returns summary stats.
 
     ``resume``: when every per-view ``depth%04d.dmap`` already exists in
@@ -213,6 +245,16 @@ def densify(scene_path: str, images_dir: str, out_dir: str,
 
     tensors = build_scene_tensors(scene, grays, cfg, flows,
                                   semantic=semantic)
+    if priors_dir is not None:
+        ext = load_prior_maps(priors_dir, scene, (h, w))
+        if ext is not None:
+            import dataclasses as _dc
+            tensors = _dc.replace(tensors,
+                                  ext_prior_depth=jnp.asarray(ext))
+            if verbose:
+                print(f"[densify] external prior maps: "
+                      f"{int((ext.reshape(n, -1) > 0).any(1).sum())}/{n} "
+                      f"views")
     dmap_dir = os.path.join(out_dir, "depthmap")
     dmap_path = lambda i: os.path.join(dmap_dir, f"depth{i:04d}.dmap")  # noqa: E731
     t0 = time.time()
@@ -350,6 +392,12 @@ def main(argv=None):
                          "(<image-stem>.png); with use-semantic=1 they "
                          "feed the RANSAC planar priors (ref: Image "
                          "maskName + GenerateDepthPrior)")
+    ap.add_argument("--priors-dir", default=None,
+                    help="directory of externally produced prior depth "
+                         "maps (depth%%04d.dmap or <image-stem>.dmap) — "
+                         "the meanshift prior channel merged per pixel "
+                         "with the superpixel prior (ref: "
+                         "GenerateFinalPrior, SceneDensify.cpp:1079-1161)")
     ap.add_argument("--export-viewer", action="store_true",
                     help="also write scene_dense.html (offline WebGL "
                          "orbit viewer — the Viewer app equivalent)")
@@ -361,7 +409,8 @@ def main(argv=None):
                     resume=not args.no_resume,
                     filter_point_cloud=args.filter_point_cloud,
                     masks_dir=args.masks_dir,
-                    fusion_mode=args.fusion_mode)
+                    fusion_mode=args.fusion_mode,
+                    priors_dir=args.priors_dir)
     if args.export_viewer:
         from hcmvs_tpu.io.ply import read_ply
         from hcmvs_tpu.io.viewer import export_viewer_html

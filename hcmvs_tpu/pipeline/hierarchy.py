@@ -187,14 +187,17 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     priors_done = False
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
-        if cfg.use_semantic and it_ext == max(n_ext - 2, 1) \
-                and not priors_done:
+        if (cfg.use_semantic or tensors.ext_prior_depth is not None) \
+                and it_ext == max(n_ext - 2, 1) and not priors_done:
             # superpixel/semantic RANSAC planes replace the (cross-scale)
             # bootstrap prior for the final iterations, mirroring the
-            # reference's GenerateFinalPrior overwrite of depthMapPrior
+            # reference's GenerateFinalPrior overwrite of depthMapPrior;
+            # an external --priors-dir channel merges in (external wins
+            # where nonzero, SceneDensify.cpp:1079-1161)
             with stage_timer("stage.priors", log=verbose):
                 tensors = compute_scene_priors(
-                    state, dataclasses.replace(tensors, prior_depth=None))
+                    state, dataclasses.replace(tensors, prior_depth=None),
+                    with_super=cfg.use_semantic)
             priors_done = True
         inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
                   and tensors.inject_depth is not None)
@@ -215,7 +218,8 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
                          schedule: Optional[List[Stage]] = None,
                          resume: bool = True,
                          verbose: bool = True,
-                         masks_dir: Optional[str] = None) -> dict:
+                         masks_dir: Optional[str] = None,
+                         priors_dir: Optional[str] = None) -> dict:
     """Full hierarchical-cross densification of a `.mvs` scene — the
     run.sh top-level entry (ref: /root/reference/run.sh:1-20): builds the
     per-level scene tensors from resized images, runs the alternating
@@ -278,6 +282,16 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
                 semantic = load_scene_masks(mask_paths, grays[0].shape)
             tensors_per_level[lvl] = build_scene_tensors(
                 scene, grays, base_cfg, flows, semantic=semantic)
+            if priors_dir is not None:
+                # external prior-map channel resized per level (the
+                # meanshift analog — ref: GenerateFinalPrior resize +
+                # merge, SceneDensify.cpp:1088-1161)
+                from hcmvs_tpu.pipeline.densify import load_prior_maps
+                ext = load_prior_maps(priors_dir, scene, grays[0].shape)
+                if ext is not None:
+                    tensors_per_level[lvl] = dataclasses.replace(
+                        tensors_per_level[lvl],
+                        ext_prior_depth=jnp.asarray(ext))
 
     with stage_timer("hierarchy.schedule", log=verbose):
         state = run_hierarchy(
@@ -337,13 +351,19 @@ def main(argv=None):
     ap.add_argument("--masks-dir", default=None,
                     help="directory of per-image semantic masks for the "
                          "use-semantic stages")
+    ap.add_argument("--priors-dir", default=None,
+                    help="directory of external prior depth maps "
+                         "(depth%%04d.dmap / <stem>.dmap — the meanshift "
+                         "prior channel, merged by GenerateFinalPrior "
+                         "semantics)")
     args = ap.parse_args(argv)
     cfg = config_from_cli_flags(dict(f.split("=", 1) for f in args.flags))
     images_dir = args.images_dir or os.path.dirname(args.input_file)
     stats = densify_hierarchical(args.input_file, images_dir,
                                  args.working_dir, cfg,
                                  resume=not args.no_resume,
-                                 masks_dir=args.masks_dir)
+                                 masks_dir=args.masks_dir,
+                                 priors_dir=args.priors_dir)
     print({k: v for k, v in stats.items() if k != "depth"})
     log_report()
 

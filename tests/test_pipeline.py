@@ -112,6 +112,42 @@ def test_densify_fusion_modes(scene, tmp_path):
     assert not os.path.exists(os.path.join(out3, "scene_dense.ply"))
 
 
+def test_densify_priors_dir(scene, tmp_path):
+    """--priors-dir ingestion: external .dmap prior maps load, resize and
+    feed the prior channel even without use-semantic (the meanshift
+    channel; ref: GenerateFinalPrior, SceneDensify.cpp:1079-1161)."""
+    from hcmvs_tpu.io.dmap import DepthMapData, write_dmap
+    from hcmvs_tpu.pipeline.densify import load_prior_maps
+    from hcmvs_tpu.io.mvs import read_mvs
+    scene_path, img_dir = _write_scene(tmp_path, scene)
+    sc = read_mvs(scene_path)
+    h, w = scene.images[0].shape
+    pdir = tmp_path / "priors"
+    os.makedirs(pdir)
+    # priors at HALF resolution to exercise the resize; view 1 has none
+    ph, pw = h // 2, w // 2
+    K = np.asarray(scene.cameras[0].K, np.float64)
+    for i in (0, 2):
+        write_dmap(str(pdir / f"depth{i:04d}.dmap"),
+                   DepthMapData(depth=np.full((ph, pw), 3.5, np.float32),
+                                normal=np.zeros((ph, pw, 3), np.float32),
+                                conf=np.ones((ph, pw), np.float32),
+                                K=K, R=np.eye(3), C=np.zeros(3),
+                                d_min=1.0, d_max=10.0,
+                                image_size=(pw, ph),
+                                image_name=f"im{i:04d}.png",
+                                view_ids=[i]))
+    ext = load_prior_maps(str(pdir), sc, (h, w))
+    assert ext is not None and ext.shape == (3, h, w)
+    assert np.allclose(ext[0], 3.5) and np.allclose(ext[2], 3.5)
+    assert np.all(ext[1] == 0)
+    # full driver run with the channel plumbed (no semantic masks)
+    out = str(tmp_path / "out_priors")
+    stats = densify(scene_path, img_dir, out, CFG, verbose=False,
+                    priors_dir=str(pdir))
+    assert stats["valid_frac"] > 0.5
+
+
 def test_hierarchy_schedule_structure():
     sched = default_schedule(CFG)
     assert [s.level for s in sched] == [3, 2, 2, 1, 1]

@@ -143,3 +143,62 @@ def test_semantic_prior_merge():
     assert valid.mean() > 0.9
     rel = np.abs(prior[valid] - depth[valid]) / depth[valid]
     assert np.median(rel) < 0.02
+
+
+def test_merge_final_prior_semantics():
+    """Two conflicting prior channels: the external (meanshift-analog)
+    channel wins where nonzero, the superpixel channel fills its holes,
+    both-zero stays zero (ref: GenerateFinalPrior per-pixel merge,
+    SceneDensify.cpp:1129-1146)."""
+    from hcmvs_tpu.dense.priors import merge_final_prior
+    ext = jnp.asarray([[2.0, 0.0], [2.0, 0.0]])
+    sup = jnp.asarray([[5.0, 5.0], [0.0, 0.0]])
+    merged = np.asarray(merge_final_prior(ext, sup))
+    # conflicting pixel: external wins
+    assert merged[0, 0] == 2.0
+    # external hole: superpixel fills
+    assert merged[0, 1] == 5.0
+    # external only
+    assert merged[1, 0] == 2.0
+    # both empty
+    assert merged[1, 1] == 0.0
+
+
+def test_compute_scene_priors_external_channel():
+    """The scene-level prior pass merges the ingested external channel
+    with the superpixel prior; with_super=False feeds it through alone."""
+    import dataclasses
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.dense.scene_driver import (SceneState, SceneTensors,
+                                              compute_scene_priors)
+    h, w = 32, 48
+    n = 1
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]])
+    cams = Camera(K=jnp.asarray(K[None], jnp.float32),
+                  R=jnp.tile(jnp.eye(3)[None], (n, 1, 1)),
+                  C=jnp.zeros((n, 3)))
+    depth = jnp.full((n, h, w), 4.0)
+    ext = np.zeros((n, h, w), np.float32)
+    ext[:, :, : w // 2] = 9.0          # left half carries an external prior
+    scene = SceneTensors(gray=jnp.zeros((n, h, w)), cams=cams,
+                         nbr_idx=jnp.zeros((n, 1), jnp.int32),
+                         nbr_valid=jnp.ones((n, 1), bool),
+                         d_min=jnp.ones(n), d_max=jnp.full(n, 10.0),
+                         ext_prior_depth=jnp.asarray(ext))
+    state = SceneState(depth=depth,
+                       normal=jnp.tile(
+                           jnp.array([0.0, 0.0, -1.0])[None, :, None, None],
+                           (n, 1, h, w)),
+                       cost=jnp.zeros((n, h, w)),
+                       keys=jax.random.split(jax.random.PRNGKey(0), n))
+    # external-only path
+    s1 = compute_scene_priors(state, scene, with_super=False)
+    assert np.array_equal(np.asarray(s1.prior_depth), ext)
+    # merged path: external wins on the left half, superpixel plane fit
+    # (flat depth=4) fills the right half
+    s2 = compute_scene_priors(state, scene, with_super=True)
+    p = np.asarray(s2.prior_depth)[0]
+    assert np.allclose(p[:, : w // 2], 9.0)
+    right = p[:, w // 2:]
+    assert (right > 0).mean() > 0.5 and np.allclose(
+        right[right > 0], 4.0, rtol=0.05)
