@@ -133,7 +133,7 @@ def shard_ba(problem, state, mesh: Mesh):
     pts = NamedSharding(mesh, P(("view", "tile"), None))
     p_spec = BAProblem(
         K=repl, obs_cam=obs, obs_pt=obs, obs_uv=obs2, obs_valid=obs,
-        fixed_cams=repl)
+        fixed_cams=repl, dist=repl)
     s_spec = BAState(rvecs=repl, tvecs=repl, points=pts)
     problem = jax.tree.map(jax.device_put, problem, p_spec)
     state = jax.tree.map(jax.device_put, state, s_spec)

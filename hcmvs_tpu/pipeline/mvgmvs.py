@@ -53,6 +53,15 @@ def run_pipeline(images: List[np.ndarray], K: np.ndarray, out_dir: str,
     scene_path = os.path.join(out_dir, "scene.mvs")
     write_mvs(scene_path, scene)
 
+    return _dense_mesh_texture(result, scene, images, K, out_dir,
+                               dense_cfg, with_mesh, with_texture,
+                               fusion_mode, verbose)
+
+
+def _dense_mesh_texture(result, scene, images, K, out_dir, dense_cfg,
+                        with_mesh, with_texture, fusion_mode, verbose):
+    """Steps 10-13 from a finished SfM result (shared by the in-memory
+    and the photo-directory entry points)."""
     # --- dense (step 10) ---
     from hcmvs_tpu.dense.fusion import compact_point_cloud, fuse_point_cloud
     from hcmvs_tpu.dense.scene_driver import estimate_scene, finalize
@@ -102,3 +111,113 @@ def run_pipeline(images: List[np.ndarray], K: np.ndarray, out_dir: str,
                                             "scene_textured.obj"), tm)
             out["textured"] = tm
     return out
+
+
+def run_pipeline_photos(images_dir: str, out_dir: str,
+                        K: Optional[np.ndarray] = None,
+                        sfm_cfg=None, dense_cfg=None,
+                        with_mesh: bool = True, with_texture: bool = True,
+                        preset: str = "SEQUENTIAL", fusion_mode: int = 0,
+                        estimate_distortion: bool = True,
+                        verbose: bool = True) -> Dict:
+    """Full reconstruction from a directory of photographs — no K needed.
+
+    The reference's step 0: EXIF focal bootstrap + sensor-width DB (ref:
+    MvgMvsPipeline.py:181-183 SfMInit_ImageListing); radial distortion is
+    then estimated jointly with the bundle (sfm/distortion.py) and the
+    images are undistorted before the MVS stages, exactly as OpenMVG
+    undistorts at `.mvs` export (ref: MvgMvsPipeline.py:208-210).
+    """
+    from hcmvs_tpu.io.exif import scene_intrinsics_from_photos
+    from hcmvs_tpu.io.images import list_images, load_image, to_gray
+    from hcmvs_tpu.sfm.distortion import (refine_with_distortion,
+                                          undistort_image)
+    from hcmvs_tpu.sfm.incremental import incremental_sfm, sfm_to_scene
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = list_images(images_dir)
+    if len(paths) < 2:
+        raise ValueError(f"need >= 2 images in {images_dir}, "
+                         f"found {len(paths)}")
+    imgs = [load_image(p) for p in paths]
+    grays = [to_gray(im).astype(np.float32) if im.ndim == 3 else im
+             for im in imgs]
+    h, w = grays[0].shape
+    if K is None:
+        K, src = scene_intrinsics_from_photos(
+            paths, [w] * len(paths), [h] * len(paths))
+        if verbose:
+            print(f"[photos] intrinsics bootstrap ({src}): "
+                  f"f = {K[0, 0]:.1f}px")
+
+    # SfM on the raw (possibly distorted) photos
+    if preset.upper() == "GLOBAL":
+        from hcmvs_tpu.sfm.global_sfm import global_sfm
+        result = global_sfm(grays, K, sfm_cfg, verbose=verbose)
+    else:
+        result = incremental_sfm(grays, K, sfm_cfg, verbose=verbose)
+
+    k = np.zeros(3, np.float32)
+    if estimate_distortion:
+        result, k = refine_with_distortion(result, K, verbose=verbose)
+        if verbose:
+            print(f"[photos] radial distortion k = {k}, "
+                  f"rms {result.reproj_rms:.3f}px")
+        if np.abs(k).max() > 1e-4:
+            # undistort the working images so the MVS stages see pinhole
+            # cameras (the reference's undistorted-export contract)
+            grays = [undistort_image(g, K, k) for g in grays]
+
+    names = [os.path.basename(p) for p in paths]
+    scene = sfm_to_scene(result, K, names, w, h)
+    write_mvs(os.path.join(out_dir, "scene.mvs"), scene)
+    out = _dense_mesh_texture(result, scene, grays, K, out_dir, dense_cfg
+                              or DenseConfig(), with_mesh, with_texture,
+                              fusion_mode, verbose)
+    out["K"] = K
+    out["distortion"] = k
+    return out
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="images-directory reconstruction pipeline "
+                    "(MvgMvsPipeline.py equivalent: EXIF intrinsics, "
+                    "SfM + radial distortion, dense, mesh, texture)")
+    ap.add_argument("images_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--preset", default="SEQUENTIAL",
+                    choices=["SEQUENTIAL", "GLOBAL"])
+    ap.add_argument("--fusion-mode", type=int, default=0)
+    ap.add_argument("--focal-px", type=float, default=None,
+                    help="override the EXIF focal bootstrap")
+    ap.add_argument("--no-distortion", action="store_true",
+                    help="skip radial-distortion estimation")
+    ap.add_argument("--no-mesh", action="store_true")
+    ap.add_argument("--flags", nargs="*", default=[],
+                    help="reference-style dense flag=value pairs")
+    args = ap.parse_args(argv)
+    from hcmvs_tpu.core.config import config_from_cli_flags
+    dense_cfg = config_from_cli_flags(
+        dict(f.split("=", 1) for f in args.flags))
+    K = None
+    if args.focal_px is not None:
+        from hcmvs_tpu.io.images import list_images, load_image
+        im0 = load_image(list_images(args.images_dir)[0])
+        h, w = im0.shape[:2]
+        K = np.array([[args.focal_px, 0, w / 2.0],
+                      [0, args.focal_px, h / 2.0], [0, 0, 1.0]])
+    out = run_pipeline_photos(
+        args.images_dir, args.out_dir, K=K, dense_cfg=dense_cfg,
+        preset=args.preset, fusion_mode=args.fusion_mode,
+        with_mesh=not args.no_mesh, with_texture=not args.no_mesh,
+        estimate_distortion=not args.no_distortion)
+    print({"n_cams": len(out["sfm"].poses),
+           "n_points": len(out["cloud"]["points"]),
+           "rms_px": out["sfm"].reproj_rms,
+           "distortion": list(map(float, out["distortion"]))})
+
+
+if __name__ == "__main__":
+    main()

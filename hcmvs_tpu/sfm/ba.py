@@ -97,6 +97,10 @@ class BAProblem(NamedTuple):
     obs_uv: jax.Array       # (M, 2)
     obs_valid: jax.Array    # (M,) bool
     fixed_cams: jax.Array   # (C,) bool — gauge fixing
+    dist: jax.Array         # (3,) shared Brown radial k1..k3 applied to
+                            # the PREDICTED projection so residuals live
+                            # in the raw (distorted) measurement space —
+                            # zeros = pinhole (the pre-round-4 behavior)
 
 
 class BAState(NamedTuple):
@@ -106,8 +110,13 @@ class BAState(NamedTuple):
 
 
 def build_problem(K, obs_cam, obs_pt, obs_uv, n_points,
-                  fixed_cams) -> BAProblem:
-    """Host-side assembly (``n_points`` fixes the point-state size)."""
+                  fixed_cams, dist=None) -> BAProblem:
+    """Host-side assembly (``n_points`` fixes the point-state size).
+
+    ``dist``: optional (3,) Brown radial coefficients held FIXED during
+    the pose/point solve (the distortion half of the alternation lives in
+    sfm/distortion.py); with it set, ``obs_uv`` must be the RAW distorted
+    pixel observations."""
     del n_points
     obs_cam = np.asarray(obs_cam, np.int32)
     obs_pt = np.asarray(obs_pt, np.int32)
@@ -117,15 +126,24 @@ def build_problem(K, obs_cam, obs_pt, obs_uv, n_points,
         obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
         obs_uv=jnp.asarray(obs_uv),
         obs_valid=jnp.ones(len(obs_cam), bool),
-        fixed_cams=jnp.asarray(np.asarray(fixed_cams, bool)))
+        fixed_cams=jnp.asarray(np.asarray(fixed_cams, bool)),
+        dist=(jnp.zeros(3, jnp.float32) if dist is None
+              else jnp.asarray(dist, jnp.float32)))
 
 
-def _residual_one(K, rvec, tvec, X, uv):
+def _residual_one(K, dist, rvec, tvec, X, uv):
     R = rodrigues(rvec)
     Xc = R @ X + tvec
     z = jnp.where(jnp.abs(Xc[2]) < 1e-9, 1e-9, Xc[2])
-    u = (K[0, 0] * Xc[0] + K[0, 1] * Xc[1]) / z + K[0, 2]
-    v = K[1, 1] * Xc[1] / z + K[1, 2]
+    xn0 = Xc[0] / z
+    xn1 = Xc[1] / z
+    # Brown radial distortion of the prediction (dist == 0 -> identity)
+    r2 = xn0 * xn0 + xn1 * xn1
+    fac = 1.0 + r2 * (dist[0] + r2 * (dist[1] + r2 * dist[2]))
+    xn0 = xn0 * fac
+    xn1 = xn1 * fac
+    u = K[0, 0] * xn0 + K[0, 1] * xn1 + K[0, 2]
+    v = K[1, 1] * xn1 + K[1, 2]
     return jnp.stack([u, v]) - uv
 
 
@@ -138,7 +156,8 @@ def _huber_weight(r2: jax.Array, delta: float) -> jax.Array:
 def ba_cost(problem: BAProblem, state: BAState,
             huber_delta: float = 4.0) -> jax.Array:
     def res(o_cam, o_pt, o_uv):
-        return _residual_one(problem.K[o_cam], state.rvecs[o_cam],
+        return _residual_one(problem.K[o_cam], problem.dist,
+                             state.rvecs[o_cam],
                              state.tvecs[o_cam], state.points[o_pt], o_uv)
 
     r = jax.vmap(res)(problem.obs_cam, problem.obs_pt, problem.obs_uv)
@@ -167,8 +186,8 @@ def ba_step(problem: BAProblem, state: BAState, lam: jax.Array,
 
     def res_jac(o_cam, o_pt, o_uv):
         def f(cam6, X):
-            return _residual_one(problem.K[o_cam], cam6[:3], cam6[3:],
-                                 X, o_uv)
+            return _residual_one(problem.K[o_cam], problem.dist,
+                                 cam6[:3], cam6[3:], X, o_uv)
         cam6 = jnp.concatenate([state.rvecs[o_cam], state.tvecs[o_cam]])
         X = state.points[o_pt]
         r = f(cam6, X)
