@@ -38,6 +38,11 @@ def main() -> int:
                     help="also time N reps of the sharded schedule and "
                          "print an MHBENCH line (cross-process "
                          "collective-overhead measurement)")
+    ap.add_argument("--backend", default="direct",
+                    choices=["direct", "volume"],
+                    help="volume = exact scoring through the sigma-volume "
+                         "tables, sharded across processes (the "
+                         "production TPU path under the global mesh)")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -84,7 +89,14 @@ def main() -> int:
     cfg = DenseConfig(adapt_half_window=3, patch_half_window=3,
                       patch_step=2, estimation_iters=1, random_iters=1,
                       use_optical_flow=0, use_geo_consistency=1,
-                      use_part_consistency=0)
+                      use_part_consistency=0,
+                      **({"exact_backend": "volume"}
+                         if args.backend == "volume" else {}))
+    if args.backend == "volume":
+        # sigma-volume tables attach BEFORE distribution so the (N, V)
+        # leading-dim tables shard over the cross-process view axis
+        from hcmvs_tpu.dense.scene_driver import attach_volumes
+        scene = attach_volumes(scene, cfg)
     state0 = init_scene_state(jax.random.PRNGKey(0), scene)
     view_ids = jnp.arange(n_views, dtype=jnp.float32)
 

@@ -24,7 +24,11 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_dense_matches_single_process(tmp_path):
+@pytest.mark.parametrize("backend", ["direct", "volume"])
+def test_two_process_dense_matches_single_process(tmp_path, backend):
+    """``volume`` runs the production exact-scoring path with the sigma
+    tables sharded across processes (round-4 hardening: the table
+    gathers become cross-process collectives)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
     env = dict(os.environ)
@@ -36,7 +40,7 @@ def test_two_process_dense_matches_single_process(tmp_path):
         return subprocess.Popen(
             [sys.executable, "-m", "hcmvs_tpu.parallel.mh_check",
              "--process-id", str(pid), "--num-processes", "2",
-             "--port", str(port)],
+             "--port", str(port), "--backend", backend],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=repo)
 
