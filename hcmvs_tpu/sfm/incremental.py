@@ -48,6 +48,19 @@ class SfMConfig:
                                         # count) run init two-view RANSAC
                                         # — scanning all O(N^2) pairs is
                                         # pointless at 50+ images
+    match_window: int = 0               # 0 = exhaustive pairwise matching;
+                                        # k > 0 = only pairs |i - j| <= k
+                                        # (OpenMVG's VIDEO_MODE_MATCHING
+                                        # analog — O(N k) instead of
+                                        # O(N^2) pairs; required for
+                                        # bounded time at 200+ images)
+    ba_growth: float = 0.0              # 0 = global BA every ba_every
+                                        # registrations; g > 1 = geometric
+                                        # schedule (BA when the map grew
+                                        # by factor g since the last BA) —
+                                        # O(log N) bundles instead of
+                                        # O(N / ba_every), the standard
+                                        # incremental-SfM scaling move
 
 
 @dataclasses.dataclass
@@ -95,6 +108,8 @@ def compute_features_and_matches(images: List[np.ndarray],
     pair_matches: Dict[Tuple[int, int], np.ndarray] = {}
     for i in range(n):
         for j in range(i + 1, n):
+            if cfg.match_window and j - i > cfg.match_window:
+                continue
             m = match_descriptors(kps[i].desc, kps[j].desc,
                                   jnp.asarray(valid[i]),
                                   jnp.asarray(valid[j]), cfg.match_ratio)
@@ -251,6 +266,7 @@ def sfm_from_matches(xy: List[np.ndarray],
     # per candidate instead of the per-match dict loops)
     remaining = set(range(n)) - set(poses)
     n_registered = 2
+    last_ba_size = 2
     while remaining:
         # count 2D-3D correspondences per candidate
         counts = {}
@@ -351,7 +367,11 @@ def sfm_from_matches(xy: List[np.ndarray],
                                   (img, int(kp_s[k_i]))])
 
         n_registered += 1
-        if n_registered % cfg.ba_every == 0:
+        if cfg.ba_growth > 1.0:
+            if n_registered >= last_ba_size * cfg.ba_growth:
+                run_global_ba()
+                last_ba_size = n_registered
+        elif n_registered % cfg.ba_every == 0:
             run_global_ba()
 
     # 6. final global BA

@@ -173,3 +173,39 @@ def test_incremental_sfm_50_images_bounded():
     # + internal consistency + a drift bound, not mm accuracy
     assert res.reproj_rms < 1.0, res.reproj_rms
     assert stats["rmse"] < 0.25 * 1.1, (stats, wall)   # <25% of half-span
+
+
+@pytest.mark.slow
+def test_incremental_sfm_200_images_bounded():
+    """Order-of-magnitude scale gate (round 4): 200 cameras register in
+    bounded time via windowed matching (match_window — the OpenMVG
+    VIDEO_MODE analog, O(N k) pairs) + the geometric global-BA schedule
+    (ba_growth — O(log N) bundles).  The reference frontend handles
+    hundreds of images; this proves the vectorized bookkeeping holds an
+    order of magnitude above the 50-image gate."""
+    import time
+    from hcmvs_tpu.utils.synth import blob_texture_fn, make_plane_scene
+    rng = np.random.default_rng(12)
+    n = 200
+    xs = np.linspace(-2.2, 2.2, n)
+    positions = [(x, 0.02 * ((i * 7) % 5 - 2), 0.0)
+                 for i, x in enumerate(xs)]
+    sc = make_plane_scene(rng, h=96, w=128, n_views=n, fx=100.0,
+                          slant=(0.2, 0.1),
+                          texture_fn=blob_texture_fn(rng, extent=4.5,
+                                                     n_blobs=2600),
+                          cam_positions=positions)
+    K = np.asarray(sc.cameras[0].K)
+    cfg = SfMConfig(max_keypoints=384, min_matches=20, min_pnp_inliers=10,
+                    final_ba_iters=10, n_octaves=1,
+                    match_window=6, ba_growth=1.4)
+    t0 = time.time()
+    res = incremental_sfm([im.astype(np.float32) for im in sc.images], K,
+                          cfg)
+    wall = time.time() - t0
+    reg = sorted(res.poses)
+    assert len(reg) >= 180, f"registered {len(reg)}/200 in {wall:.0f}s"
+    assert res.reproj_rms < 1.0, res.reproj_rms
+    # bounded time: generous CI margin (measured ~4-6 min on the 2-core
+    # host; the gate catches quadratic blowups, not constant factors)
+    assert wall < 1500, f"200-image sweep took {wall:.0f}s"
