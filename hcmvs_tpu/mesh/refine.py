@@ -175,7 +175,36 @@ def raster_refine_grad(V: jax.Array, faces: jax.Array,
     """
     n_views, h, w = images.shape
     nv = V.shape[0]
+    nf = faces.shape[0]
     npx = 25.0
+
+    # Index-count restructure (round 4; TPU gathers cost per-INDEX, not
+    # per-element — ops/sampling.py): the per-pixel traffic drops from
+    # ~14 indices (fid->tri + 3x V rows + 4 bilinear samples + 6
+    # scatter-adds) to 3 — one face-table gather, one 16-channel packed
+    # B-tap gather, one face-packed scatter.  Measured on v5e at 640x480
+    # x 8 views / 14 pairs: 0.387 -> 0.126 s/grad-iteration (3.1x; see
+    # eval/refine_bench.py + BASELINE.md round 4).
+
+    # per-face packed table (12, F): 3 vertices + unit normal — also
+    # moves the cross/normalize off the per-pixel path
+    Vf = V[faces]                                        # (F, 3, 3)
+    nrm_f = jnp.cross(Vf[:, 1] - Vf[:, 0], Vf[:, 2] - Vf[:, 0])
+    nrm_f = nrm_f / jnp.maximum(
+        jnp.linalg.norm(nrm_f, axis=-1, keepdims=True), 1e-12)
+    Pf = jnp.concatenate([Vf.reshape(nf, 9), nrm_f], axis=1).T  # (12, F)
+
+    # per-view 2x2-tap-packed channels (n_views, 16, H*W): one gather
+    # fetches the bilinear taps of image/raster-depth/gx/gy together
+    def pack4(a):
+        r = jnp.pad(a, ((0, 1), (0, 1)), mode="edge")
+        return jnp.stack([r[:-1, :-1], r[:-1, 1:],
+                          r[1:, :-1], r[1:, 1:]]).reshape(4, -1)
+
+    packedB = jnp.concatenate(
+        [jax.vmap(pack4)(images), jax.vmap(pack4)(raster_depth),
+         jax.vmap(pack4)(gx_all), jax.vmap(pack4)(gy_all)],
+        axis=1)                                          # (V, 16, H*W)
 
     grad = jnp.zeros((nv,))
     wsum = jnp.zeros((nv,))
@@ -184,29 +213,51 @@ def raster_refine_grad(V: jax.Array, faces: jax.Array,
         fid = face_ids[ia]                               # (H, W)
         covered = fid >= 0
         fid0 = jnp.maximum(fid, 0)
-        tri = faces[fid0]                                # (H, W, 3)
-        b3 = barys[ia]                                   # (H, W, 3)
-        # current-surface point per pixel (tracks V as it moves)
-        Xp = (V[tri[..., 0]] * b3[..., 0:1]
-              + V[tri[..., 1]] * b3[..., 1:2]
-              + V[tri[..., 2]] * b3[..., 2:3])           # (H, W, 3)
-        # face normal from current V
-        e1 = V[tri[..., 1]] - V[tri[..., 0]]
-        e2 = V[tri[..., 2]] - V[tri[..., 0]]
-        nrm = jnp.cross(e1, e2)
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        slab = jnp.take(Pf, fid0.reshape(-1), axis=1)    # (12, H*W)
+        s = [slab[k].reshape(h, w) for k in range(12)]
+        b0 = barys[ia][..., 0]
+        b1 = barys[ia][..., 1]
+        b2 = barys[ia][..., 2]
+        # current-surface point per pixel (tracks V as it moves) —
+        # scalar-expanded 3-vector math (planes-first LAYOUT RULE)
+        Xp0 = b0 * s[0] + b1 * s[3] + b2 * s[6]
+        Xp1 = b0 * s[1] + b1 * s[4] + b2 * s[7]
+        Xp2 = b0 * s[2] + b1 * s[5] + b2 * s[8]
+        n0, n1, n2 = s[9], s[10], s[11]
         # project into B
         K, R, C = Ks[ib], Rs[ib], Cs[ib]
-        Xc = jnp.einsum("ij,hwj->hwi", R, Xp - C)
-        zb = Xc[..., 2]
+        d0 = Xp0 - C[0]
+        d1 = Xp1 - C[1]
+        d2 = Xp2 - C[2]
+        Xc0 = R[0, 0] * d0 + R[0, 1] * d1 + R[0, 2] * d2
+        Xc1 = R[1, 0] * d0 + R[1, 1] * d1 + R[1, 2] * d2
+        zb = R[2, 0] * d0 + R[2, 1] * d1 + R[2, 2] * d2
         inv_zb = 1.0 / jnp.where(jnp.abs(zb) < 1e-9, 1e-9, zb)
-        ub = (K[0, 0] * Xc[..., 0] + K[0, 2] * Xc[..., 2]) * inv_zb
-        vb = (K[1, 1] * Xc[..., 1] + K[1, 2] * Xc[..., 2]) * inv_zb
-        Wimg, okb = bilinear_sample_xy(images[ib], ub, vb)
+        ub = (K[0, 0] * Xc0 + K[0, 2] * zb) * inv_zb
+        vb = (K[1, 1] * Xc1 + K[1, 2] * zb) * inv_zb
+
+        # ONE gather for all four B channels' bilinear taps
+        x0 = jnp.floor(ub)
+        y0 = jnp.floor(vb)
+        fx = ub - x0
+        fy = vb - y0
+        okb = (ub >= 0) & (vb >= 0) & (ub <= w - 1) & (vb <= h - 1)
+        x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+        y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+        taps = jnp.take(packedB[ib], (y0c * w + x0c).reshape(-1),
+                        axis=1).reshape(16, h, w)
+
+        def lerp(t4):
+            top = t4[0] * (1 - fx) + t4[1] * fx
+            bot = t4[2] * (1 - fx) + t4[3] * fx
+            return top * (1 - fy) + bot * fy
+
+        Wimg = lerp(taps[0:4])
+        zraster = lerp(taps[4:8])
+        gxb = lerp(taps[8:12])
+        gyb = lerp(taps[12:16])
         # occlusion in B: point must win B's z-buffer
-        zraster, okz = bilinear_sample_xy(raster_depth[ib], ub, vb)
-        vis = (covered & okb & (zb > 0) & okz
+        vis = (covered & okb & (zb > 0)
                & (jnp.abs(zraster - zb) < occl_tol * zb + 1e-6))
         visf = vis.astype(jnp.float32)
 
@@ -229,18 +280,22 @@ def raster_refine_grad(V: jax.Array, faces: jax.Array,
         dz_dw = (Ac / sig_a - Wc / sig_w) / (npx * sig_w)
         # d W / d delta: B-image gradient dotted with the projection
         # Jacobian applied to the surface normal
-        gxb, _ = bilinear_sample_xy(gx_all[ib], ub, vb)
-        gyb, _ = bilinear_sample_xy(gy_all[ib], ub, vb)
-        dn = jnp.einsum("ij,hwj->hwi", R, nrm)           # normal in B cam
-        du = (K[0, 0] * dn[..., 0]
-              - (ub - K[0, 2]) * dn[..., 2]) * inv_zb
-        dv = (K[1, 1] * dn[..., 1]
-              - (vb - K[1, 2]) * dn[..., 2]) * inv_zb
+        dn0 = R[0, 0] * n0 + R[0, 1] * n1 + R[0, 2] * n2
+        dn1 = R[1, 0] * n0 + R[1, 1] * n1 + R[1, 2] * n2
+        dn2 = R[2, 0] * n0 + R[2, 1] * n1 + R[2, 2] * n2
+        du = (K[0, 0] * dn0 - (ub - K[0, 2]) * dn2) * inv_zb
+        dv = (K[1, 1] * dn1 - (vb - K[1, 2]) * dn2) * inv_zb
         g_pix = dz_dw * (gxb * du + gyb * dv) * visf
 
+        # ONE face-packed scatter per pair (6-wide rows), unpacked to
+        # vertices with an F-sized scatter afterwards
+        vals = jnp.stack([g_pix * b0, g_pix * b1, g_pix * b2,
+                          visf * b0, visf * b1, visf * b2],
+                         axis=-1).reshape(-1, 6)         # (H*W, 6)
+        facc = jnp.zeros((nf, 6)).at[fid0.reshape(-1)].add(vals)
         for k in range(3):
-            grad = grad.at[tri[..., k]].add(g_pix * b3[..., k])
-            wsum = wsum.at[tri[..., k]].add(visf * b3[..., k])
+            grad = grad.at[faces[:, k]].add(facc[:, k])
+            wsum = wsum.at[faces[:, k]].add(facc[:, 3 + k])
     return grad, wsum
 
 

@@ -329,12 +329,14 @@ def densify_hierarchical(scene_path: str, images_dir: str, out_dir: str,
     fused = fuse_point_cloud(depth, normal, conf, tensors.cams,
                              tensors.nbr_idx, tensors.nbr_valid, priority,
                              final_cfg)
-    cloud = compact_point_cloud(fused)
+    cloud = compact_point_cloud(fused, nbr_idx=np.asarray(tensors.nbr_idx),
+                                confs=conf_np)
     write_ply_points(_os.path.join(out_dir, "scene_dense.ply"),
                      cloud["points"], cloud["normals"])
     return {"n_views": n, "n_points": len(cloud["points"]),
             "valid_frac": float((depth_np > 0).mean()),
-            "depth": depth_np}
+            "depth": depth_np, "normal": normal_np, "conf": conf_np,
+            "cloud": cloud}
 
 
 def main(argv=None):
@@ -364,7 +366,8 @@ def main(argv=None):
                                  resume=not args.no_resume,
                                  masks_dir=args.masks_dir,
                                  priors_dir=args.priors_dir)
-    print({k: v for k, v in stats.items() if k != "depth"})
+    print({k: v for k, v in stats.items()
+           if k not in ("depth", "normal", "conf", "cloud")})
     log_report()
 
 

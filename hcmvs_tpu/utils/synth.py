@@ -167,7 +167,8 @@ def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
                      n_views: int = 3, fx: float = 100.0,
                      slant: Tuple[float, float] = (0.3, 0.15),
                      z0: float = 4.0, texture_fn=None,
-                     cam_positions=None) -> PlaneScene:
+                     cam_positions=None,
+                     bounded_rotations: bool = False) -> PlaneScene:
     """Textured slanted plane z = z0 + a*x + b*y seen from ``n_views``
     cameras: camera 0 is the reference at the origin; the others are
     translated sideways with a small rotation (stereo-like baselines).
@@ -189,8 +190,12 @@ def make_plane_scene(rng: np.random.Generator, h: int = 64, w: int = 80,
     cams_np = []
     for i in range(n_views):
         if cam_positions is not None:
+            # bounded_rotations: jitter pattern that does NOT grow with i
+            # (the linear-in-i default turns a 200-camera corridor's tail
+            # 26+ degrees away from the plane footprint)
+            k = (i % 7) - 3 if bounded_rotations else i
             R = (np.eye(3) if i == 0 else
-                 _rotation(0.004 * i, -0.006 * i, 0.002 * i))
+                 _rotation(0.004 * k, -0.006 * k, 0.002 * k))
             C = np.asarray(cam_positions[i], np.float64)
         elif i == 0:
             R = np.eye(3)

@@ -194,7 +194,8 @@ def test_incremental_sfm_200_images_bounded():
                           slant=(0.2, 0.1),
                           texture_fn=blob_texture_fn(rng, extent=4.5,
                                                      n_blobs=2600),
-                          cam_positions=positions)
+                          cam_positions=positions,
+                          bounded_rotations=True)
     K = np.asarray(sc.cameras[0].K)
     cfg = SfMConfig(max_keypoints=384, min_matches=20, min_pnp_inliers=10,
                     final_ba_iters=10, n_octaves=1,
