@@ -139,7 +139,7 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
     t0 = time.time()
     dstats = densify_hierarchical(os.path.join(out_dir, "scene.mvs"),
                                   img_dir, os.path.join(out_dir, "mvs"),
-                                  base, schedule=sched, resume=False,
+                                  base, schedule=sched, resume=True,
                                   verbose=verbose)
     dense_s = time.time() - t0
     stage_walls = {k: round(v["total_s"], 1)
@@ -155,10 +155,42 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
     scale = float(np.median(gt[valid] / d0[valid]))
     rel = np.abs(d0 * scale - gt) / gt
     depth_acc = float(((rel < 0.02) & valid).sum() / max(valid.sum(), 1))
+
+    # the SfM gauge is an arbitrary sim3 (the init pair's first camera is
+    # the origin — NOT image 0 in general): the mesh stages run in the
+    # SfM frame, and metrics align into the GT frame.  Camera centers
+    # alone are nearly COLLINEAR on this rig (umeyama leaves the roll
+    # about the baseline free — measured 0.19 cloud offset from exactly
+    # that), so the sim3 comes from dense 3D correspondences: pixel p of
+    # view 0 backprojected at the SfM depth vs at the GT depth.
+    from hcmvs_tpu.eval.pose_eval import umeyama_align
+    from hcmvs_tpu.io.mvs import read_mvs
+    scn = read_mvs(os.path.join(out_dir, "scene.mvs"))
+    est_centers = np.stack([scn.pose_of(i)[1]
+                            for i in range(len(scn.images))])
+    R0, C0 = scn.pose_of(0)
+    K0 = scn.intrinsics_of(0, w, h)
+    vv0, uu0 = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    sel0 = valid & (np.random.default_rng(5).random((h, w)) < 0.01)
+    rays0 = np.linalg.inv(K0) @ np.stack(
+        [uu0[sel0], vv0[sel0], np.ones(sel0.sum())])
+    X_sfm = (R0.T @ (rays0 * d0[sel0])).T + C0
+    Kg = np.asarray(sc.cameras[0].K)
+    Rg, Cg = np.asarray(sc.cameras[0].R), np.asarray(sc.cameras[0].C)
+    raysg = np.linalg.inv(Kg) @ np.stack(
+        [uu0[sel0], vv0[sel0], np.ones(sel0.sum())])
+    X_gt = (Rg.T @ (raysg * gt[sel0])).T + Cg
+    s_al, R_al, t_al = umeyama_align(X_sfm, X_gt)
+    to_gt = lambda p: (s_al * (R_al @ np.asarray(p, np.float64).T)).T + t_al  # noqa: E731
+    align_res = float(np.median(np.linalg.norm(
+        to_gt(X_sfm) - X_gt, axis=1)))
+    if verbose:
+        print(f"[full] sim3 alignment: scale {s_al:.4f}, median residual "
+              f"{align_res:.4f}", flush=True)
+
     cloud = dstats["cloud"]
-    cloud_pts = cloud["points"] * scale
-    cloud_dist = float(np.median(sc.surface_dist(cloud_pts))) \
-        if len(cloud_pts) else float("inf")
+    cloud_dist = float(np.median(sc.surface_dist(to_gt(cloud["points"])))) \
+        if len(cloud["points"]) else float("inf")
 
     # --- graph-cut surface (ReconstructMesh) ---
     from hcmvs_tpu.mesh.delaunay import reconstruct_mesh
@@ -174,8 +206,9 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
             obs_pt.append(ci)
             obs_cam.append(cloud["view_ids"][k])
             obs_w.append(max(cloud["view_confs"][k], 0.1))
-    # mesh in SfM scene scale; GT comparisons apply `scale`
-    centers = np.load(os.path.join(out_dir, "gt_centers.npy")) / scale
+    # mesh runs in the SfM frame with the SfM camera centers (the frame
+    # the cloud lives in); GT metrics go through to_gt
+    centers = est_centers
     mesh = reconstruct_mesh(pts, centers, cloud["owner_view"][sub],
                             obs_pt=np.asarray(obs_pt),
                             obs_cam=np.asarray(obs_cam),
@@ -186,18 +219,22 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
         print(f"[full] mesh {mesh_s:.0f}s v={len(mv)} f={len(mf)}",
               flush=True)
 
-    # mesh F-score vs GT surface samples at 2x subsampled point spacing
-    from scipy.spatial import cKDTree
+    # mesh F-score vs GT surface samples at a STATED physical tolerance:
+    # 1% of the median scene depth (the ETH3D-style convention of
+    # quoting F at a tolerance; a spacing-derived threshold would shrink
+    # with cloud density and punish denser reconstructions)
     from hcmvs_tpu.eval.compare import point_cloud_fscore
+    from hcmvs_tpu.io.ply import write_ply_mesh
     samples, _ = sample_points(mv, mf, 12000)
-    K0 = np.asarray(sc.cameras[0].K)
     vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     sel = np.random.default_rng(2).permutation(h * w)[:12000]
-    rays = np.linalg.inv(K0) @ np.stack(
+    Kg0 = np.asarray(sc.cameras[0].K)
+    rays = np.linalg.inv(Kg0) @ np.stack(
         [uu.ravel()[sel], vv.ravel()[sel], np.ones(len(sel))])
     gt_pts = (rays * sc.depth_gt.ravel()[sel]).T
-    h_sub = float(np.median(cKDTree(pts).query(pts, k=2)[0][:, 1]))
-    fs = point_cloud_fscore(samples * scale, gt_pts, 2.0 * h_sub * scale)
+    tol = 0.01 * float(np.median(sc.depth_gt[sc.depth_gt > 0]))
+    fs = point_cloud_fscore(to_gt(samples), gt_pts, tol)
+    write_ply_mesh(os.path.join(out_dir, "scene_mesh.ply"), mv, mf)
 
     # --- variational refine (RefineMesh; runs at half resolution like
     # the reference's --resolution-level on the refine app) ---
@@ -211,7 +248,8 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
     for i in range(len(Ks_half)):
         Ks_half[i][0, 2] -= 0.25
         Ks_half[i][1, 2] -= 0.25
-    Rs = np.stack([np.asarray(c.R) for c in sc.cameras])
+    # SfM-frame rotations, consistent with the mesh/cloud frame
+    Rs = np.stack([scn.pose_of(i)[0] for i in range(len(scn.images))])
     pairs = np.asarray([(i, j) for i in range(n_views)
                         for j in range(n_views)
                         if i != j and abs(i - j) <= 2])
@@ -221,8 +259,9 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
                        iters_per_scale=refine_iters)
     refine_s = time.time() - t0
     samples_r, _ = sample_points(mv_r, mf, 12000)
-    fs_r = point_cloud_fscore(samples_r * scale, gt_pts,
-                              2.0 * h_sub * scale)
+    fs_r = point_cloud_fscore(to_gt(samples_r), gt_pts, tol)
+    write_ply_mesh(os.path.join(out_dir, "scene_mesh_refined.ply"),
+                   mv_r, mf)
     if verbose:
         print(f"[full] refine {refine_s:.0f}s fscore "
               f"{fs['fscore']:.3f} -> {fs_r['fscore']:.3f}", flush=True)
@@ -250,6 +289,8 @@ def run(h=960, w=1280, n_views=6, seed=0, cpu=False,
         "cloud_dist": round(cloud_dist, 5),
         "mesh_fscore": round(fs["fscore"], 3),
         "mesh_fscore_refined": round(fs_r["fscore"], 3),
+        "fscore_tolerance": round(tol, 4),
+        "align_residual": round(align_res, 4),
         "n_points": int(dstats["n_points"]), "n_faces": int(len(mf)),
     }
     return out

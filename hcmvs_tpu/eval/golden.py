@@ -156,7 +156,8 @@ def run(h: int = 144, w: int = 192, n_views: int = 5, seed: int = 0,
 
 def run_hierarchy(h: int = 144, w: int = 192, n_views: int = 5,
                   seed: int = 0, fx: float = None,
-                  full_stack: bool = False, sweep_mult: int = 1) -> dict:
+                  full_stack: bool = False, sweep_mult: int = 1,
+                  ablate: str = "") -> dict:
     """Full product path: SfM poses (not GT) -> scene.mvs -> 3-stage
     hierarchical-cross densification; depth accuracy after median-scale
     alignment (SfM scale is arbitrary).  Measured 0.970 on the ridge
@@ -201,10 +202,16 @@ def run_hierarchy(h: int = 144, w: int = 192, n_views: int = 5,
     if full_stack:
         # the FULL HC machinery (verdict r4 #5 — wide-FOV saturation
         # experiment): priors + view-spread + mid-pipeline filter +
-        # external-iteration budget, on the 5-stage run.sh schedule
-        cfg = cfg.replace(use_semantic=True, view_spread=1, optimize=1,
-                          estimation_iters_external=3,
-                          use_part_consistency=1)
+        # external-iteration budget, on the 5-stage run.sh schedule.
+        # ``ablate``: comma list of components to turn back off
+        # (priors, viewspread, optimize, part) for attribution.
+        off = set(ablate.split(",")) if ablate else set()
+        cfg = cfg.replace(
+            use_semantic="priors" not in off,
+            view_spread=0 if "viewspread" in off else 1,
+            optimize=0 if "optimize" in off else 1,
+            estimation_iters_external=3,
+            use_part_consistency=0 if "part" in off else 1)
     a = cfg.replace(init_triangulate=0)
     b = cfg.replace(init_triangulate=1, use_geo_consistency=0,
                     photo2geo=99)
@@ -244,11 +251,15 @@ def main():
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--fx", type=float, default=None)
     ap.add_argument("--sweep-mult", type=int, default=1)
+    ap.add_argument("--ablate", default="",
+                    help="full-stack components to disable "
+                         "(priors,viewspread,optimize,part)")
     args = ap.parse_args()
     if args.hierarchy or args.full_stack:
         print(json.dumps(run_hierarchy(
             h=args.h, w=args.w, n_views=args.views, fx=args.fx,
-            full_stack=args.full_stack, sweep_mult=args.sweep_mult)))
+            full_stack=args.full_stack, sweep_mult=args.sweep_mult,
+            ablate=args.ablate)))
     else:
         print(json.dumps(run(h=args.h, w=args.w, n_views=args.views,
                              fx=args.fx)))

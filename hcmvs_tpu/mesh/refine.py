@@ -183,7 +183,7 @@ def raster_refine_grad(V: jax.Array, faces: jax.Array,
     # ~14 indices (fid->tri + 3x V rows + 4 bilinear samples + 6
     # scatter-adds) to 3 — one face-table gather, one 16-channel packed
     # B-tap gather, one face-packed scatter.  Measured on v5e at 640x480
-    # x 8 views / 14 pairs: 0.387 -> 0.126 s/grad-iteration (3.1x; see
+    # x 8 views / 14 pairs: 0.387 -> 0.117 s/grad-iteration (3.3x; see
     # eval/refine_bench.py + BASELINE.md round 4).
 
     # per-face packed table (12, F): 3 vertices + unit normal — also
