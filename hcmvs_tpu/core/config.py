@@ -165,7 +165,13 @@ class DenseConfig:
                                        # 0.72 vs 0.84 views/s — the extra
                                        # HBM traffic of materialized
                                        # candidate intermediates loses to
-                                       # the scan's reuse)
+                                       # the scan's reuse).  r4: OOMs
+                                       # outright at 1280x960 (20.7G vs
+                                       # 15.75G HBM) — the viable form is
+                                       # an IN-KERNEL candidate loop that
+                                       # reuses the VMEM table tile
+                                       # across candidates (see the
+                                       # roofline report, BASELINE.md r4)
     score_mode: str = "exact"          # "exact": warp every patch sample
                                        # through the pixel's own plane
                                        # homography (reference semantics).

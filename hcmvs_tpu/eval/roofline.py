@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--nbrs", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--batch-candidates", action="store_true",
+                    help="A/B the batched propagation-candidate scoring "
+                         "(one vmapped cost graph, no scan carries)")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +60,8 @@ def main():
 
     n, h, w, v = args.views, args.h, args.w, args.nbrs
     state, scene, cfg = bench._build(n, h, w, v)
+    if args.batch_candidates:
+        cfg = cfg.replace(batch_candidates=True)
 
     # --- AOT compile the three stage executables ---
     use_vol = S.use_volume_tables(cfg)
