@@ -58,15 +58,26 @@ def sampson_distance(E: jax.Array, pts0: jax.Array,
     return num / jnp.maximum(den, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("n_hypotheses",))
+@partial(jax.jit, static_argnames=("n_hypotheses", "adaptive", "alpha0",
+                                   "threshold"))
 def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
                      valid: jax.Array, threshold: float = 1e-5,
-                     n_hypotheses: int = 512) -> TwoViewResult:
+                     n_hypotheses: int = 512,
+                     adaptive: bool = False,
+                     alpha0: float = 2.83) -> TwoViewResult:
     """Vmapped-hypothesis RANSAC for E on normalized correspondences.
 
     pts0/pts1: (N, 2) normalized coords; valid: (N,) mask (padded slots).
     ``threshold`` is on squared Sampson distance in normalized units
     (~(1.5px / f)^2).
+
+    ``adaptive``: a-contrario (AC-RANSAC/ORSA) mode — the reference's
+    AutoEstimator driver (ref: frame_main/libs/Common/AutoEstimator.h:230):
+    hypotheses are ranked by log-NFA over every inlier count, and the
+    squared-distance threshold becomes the data-driven r_k* of the best
+    (model, count) — no fixed ``threshold`` needed, which is what lets
+    the frontend run unattended across scene/noise scales
+    (sfm/acransac.py; ``alpha0`` is the epipolar band probability slope).
     """
     n = pts0.shape[0]
     # sample 8 indices per hypothesis, restricted to valid entries
@@ -78,12 +89,29 @@ def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
 
     Es = jax.vmap(solve)(idx)                       # (H, 3, 3)
 
-    def score(E):
-        d = sampson_distance(E, pts0, pts1)
-        inl = (d < threshold) & valid
-        return inl.sum(), inl
+    if adaptive:
+        from hcmvs_tpu.sfm.acransac import nfa_threshold_batch
+        ds = jax.vmap(lambda E: sampson_distance(E, pts0, pts1))(Es)
+        log_nfa, thr2, k_star = nfa_threshold_batch(ds, valid, m=8,
+                                                    alpha0=alpha0)
+        # traced data-driven threshold from the most significant model;
+        # ranking by significance replaces the fixed-threshold count
+        threshold = thr2[jnp.argmin(log_nfa)]
+        counts = -log_nfa
 
-    counts, inls = jax.vmap(score)(Es)
+        def score(E):
+            d = sampson_distance(E, pts0, pts1)
+            inl = (d <= threshold) & valid
+            return inl.sum(), inl
+
+        _, inls = jax.vmap(score)(Es)
+    else:
+        def score(E):
+            d = sampson_distance(E, pts0, pts1)
+            inl = (d < threshold) & valid
+            return inl.sum(), inl
+
+        counts, inls = jax.vmap(score)(Es)
 
     # Sampson inlier COUNT alone cannot discriminate low-parallax twins
     # (several essential matrices fit all matches within threshold, and the

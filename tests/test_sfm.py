@@ -298,3 +298,47 @@ def test_homography_model_selection():
         ratios.append(int(h.n_inliers) / max(int(e.n_inliers), 1))
     assert ratios[0] > 0.9     # planar: homography explains everything
     assert ratios[1] < 0.5     # 3D: it cannot
+
+
+def test_nfa_threshold_separates_noise_scales():
+    """The a-contrario threshold adapts to the residual noise scale
+    (ref: AutoEstimator.h:230 AC-RANSAC — no fixed threshold)."""
+    from hcmvs_tpu.sfm.acransac import nfa_threshold
+    rng = np.random.default_rng(0)
+    for sigma in (1e-4, 1e-3):
+        # 300 inliers at noise sigma, 100 uniform outliers
+        d2 = np.concatenate([
+            (rng.normal(0, sigma, 300)) ** 2,
+            rng.uniform(0.3, 1.0, 100) ** 2]).astype(np.float32)
+        log_nfa, thr2, k = nfa_threshold(
+            jnp.asarray(d2), jnp.ones(400, bool), m=8)
+        assert float(log_nfa) < 0                    # significant
+        assert 250 <= int(k) <= 320                  # finds the inliers
+        # threshold sits between the noise scale and the outlier scale
+        assert sigma ** 2 * 0.5 < float(thr2) < 0.09
+    # pure-noise control: nothing significant to find
+    d2n = rng.uniform(0.1, 1.0, 400).astype(np.float32) ** 2
+    log_nfa_n, _, _ = nfa_threshold(jnp.asarray(d2n),
+                                    jnp.ones(400, bool), m=8)
+    assert float(log_nfa_n) > float(log_nfa)
+
+
+def test_ransac_essential_adaptive_across_noise():
+    """AC-RANSAC mode recovers the pose at BOTH a low and a 10x-higher
+    noise level with no threshold tuning — the fixed default (1e-5 sq
+    Sampson) would reject most true inliers at the high-noise scale."""
+    for noise, tol_deg in ((3e-4, 1.0), (3e-3, 6.0)):
+        rng = np.random.default_rng(7)
+        p0, p1, R_gt, t_gt, n_out = _synth_two_view(rng, noise=noise)
+        res = ransac_essential(jax.random.PRNGKey(0), jnp.asarray(p0),
+                               jnp.asarray(p1), jnp.ones(len(p0), bool),
+                               adaptive=True)
+        assert int(res.n_inliers) > 0.6 * (len(p0) - n_out), noise
+        inl = np.asarray(res.inliers)
+        assert inl[:n_out].mean() < 0.15
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        cos_r = (np.trace(R.T @ R_gt) - 1) / 2
+        assert np.degrees(np.arccos(np.clip(cos_r, -1, 1))) < tol_deg
+        cos_t = abs(t @ t_gt)
+        assert np.degrees(np.arccos(np.clip(cos_t, -1, 1))) < 3 * tol_deg
