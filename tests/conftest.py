@@ -47,3 +47,8 @@ def _clear_jax_caches_per_module():
     persistent compilation cache, re-loading is cheap."""
     yield
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale/integration gates")

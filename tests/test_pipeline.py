@@ -278,3 +278,18 @@ def test_run_pipeline_sgm_preset(tmp_path):
     # exactly like the reference's in-Match LR invalidation
     assert len(out["cloud"]["points"]) > 120
     assert os.path.exists(str(tmp_path / "out" / "scene_dense.ply"))
+
+
+@pytest.mark.slow
+def test_full_run_smoke(tmp_path, monkeypatch):
+    """The full-product harness (eval/full_run — SfM -> 5-stage
+    hierarchy -> mesh -> refine -> texture) composes at smoke size.
+    Keeps the flagship driver from rotting between TPU runs."""
+    from hcmvs_tpu.eval import full_run
+    out = full_run.run(h=120, w=160, n_views=4, cpu=True,
+                       refine_scales=1, refine_iters=2,
+                       mesh_points=20000, verbose=False)
+    assert out["depth_acc_2pct"] > 0.8
+    assert out["n_points"] > 5000
+    assert out["mesh_fscore"] > 0.3
+    assert out["n_faces"] > 1000
