@@ -77,13 +77,17 @@ def main(n_cams: int = 200, n_pts: int = 200_000, n_iters: int = 8):
     c0 = float(ba_cost(problem, state))
 
     # warm the executable, then time one LM trial step (the unit the
-    # reference's Ceres logs report per-iteration)
+    # reference's Ceres logs report per-iteration).  The sync is a
+    # one-element READBACK, not block_until_ready: on the axon tunnel
+    # block_until_ready is a no-op before the first readback (see
+    # .claude/skills/verify/SKILL.md), so this measures the stable
+    # sync steady state on TPU and plain wall on CPU.
     import jax.numpy as jnp
     _ = ba_step(problem, state, jnp.float32(1e-3))
-    jax.block_until_ready(_.points)
+    _ = float(np.asarray(_.points[0, 0]))
     t0 = time.time()
     trial = ba_step(problem, state, jnp.float32(1e-3))
-    jax.block_until_ready(trial.points)
+    _ = float(np.asarray(trial.points[0, 0]))
     step_s = time.time() - t0
 
     t0 = time.time()

@@ -152,7 +152,24 @@ def _huber_weight(r2: jax.Array, delta: float) -> jax.Array:
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+def _highest_precision(fn):
+    """Trace-time matmul-precision pin: TPU matmul/einsum inputs default
+    to bf16, and the PCG inner products / tiny 3x3 point solves stall LM
+    convergence (measured r4 on v5e, 200 cams / 1M obs: rms 1.85px after
+    8 iters unpinned vs 0.591 pinned == exact CPU parity, at 2.27 s/step
+    vs 5.45 on the 2-thread CPU host) — the same bug class as the
+    rect-volume geometry products (CLAUDE.md precision rule)."""
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 @partial(jax.jit, static_argnames=("huber_delta",))
+@_highest_precision
 def ba_cost(problem: BAProblem, state: BAState,
             huber_delta: float = 4.0) -> jax.Array:
     def res(o_cam, o_pt, o_uv):
@@ -169,6 +186,7 @@ def ba_cost(problem: BAProblem, state: BAState,
 
 
 @partial(jax.jit, static_argnames=("huber_delta", "solver", "cg_iters"))
+@_highest_precision
 def ba_step(problem: BAProblem, state: BAState, lam: jax.Array,
             huber_delta: float = 4.0, solver: str = "auto",
             cg_iters: int = 0) -> BAState:
