@@ -110,6 +110,16 @@ def scene_intrinsics_from_photos(paths, widths, heights):
     focal over images that carry EXIF (single-camera assumption — the
     common capture setup and the reference's single intrinsic group)."""
     import numpy as np
+    if len(set(zip(widths, heights))) > 1:
+        # a mixed-size directory would silently get the first image's
+        # principal point and per-image focal scaling — downstream SfM
+        # would consume a wrong K and only crash (or worse, converge
+        # badly) much later
+        raise ValueError(
+            "scene_intrinsics_from_photos: images have mixed sizes "
+            f"({sorted(set(zip(widths, heights)))}); shared-intrinsics "
+            "bootstrap requires a single capture size — resize the "
+            "images or pass per-image intrinsics explicitly")
     focals, sources = [], []
     for p, w, h in zip(paths, widths, heights):
         f, s = focal_from_exif(p, w, h)

@@ -237,13 +237,14 @@ def raster_refine_grad(V: jax.Array, faces: jax.Array,
         vb = (K[1, 1] * Xc1 + K[1, 2] * zb) * inv_zb
 
         # ONE gather for all four B channels' bilinear taps
-        x0 = jnp.floor(ub)
-        y0 = jnp.floor(vb)
-        fx = ub - x0
-        fy = vb - y0
         okb = (ub >= 0) & (vb >= 0) & (ub <= w - 1) & (vb <= h - 1)
-        x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
-        y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+        x0c = jnp.clip(jnp.floor(ub).astype(jnp.int32), 0, w - 2)
+        y0c = jnp.clip(jnp.floor(vb).astype(jnp.int32), 0, h - 2)
+        # fractions from the CLIPPED corner: a pixel landing exactly on
+        # the last column/row (ub == w-1, admitted by okb) clips its
+        # corner to w-2 and must lerp with fx=1, not the unclipped 0
+        fx = ub - x0c
+        fy = vb - y0c
         taps = jnp.take(packedB[ib], (y0c * w + x0c).reshape(-1),
                         axis=1).reshape(16, h, w)
 

@@ -73,7 +73,12 @@ def nfa_threshold(d2: jax.Array, valid: jax.Array, m: int,
     log_alpha = jnp.log(jnp.clip(alpha0 * r_k, 1e-12, 1.0))
     # log NFA for count k (k >= m+1), threshold at residual index k-1
     log_alpha_at_k = jnp.concatenate([jnp.zeros(1), log_alpha])  # idx by k
-    log_nfa_k = (jnp.log(n_outcomes)
+    # ORSA's multiplicity over candidate inlier counts: NFA carries an
+    # (n - m) factor (one trial per possible count).  Constant in k for
+    # fixed n — ranking/threshold unchanged — but required for the
+    # absolute "significant when log NFA < 0" cutoff to match the
+    # AC-RANSAC definition (ref: AutoEstimator.h:230 NFA formulation).
+    log_nfa_k = (jnp.log(n_outcomes) + np.log(max(n - m, 1))
                  + jnp.asarray(log_c_n_k, jnp.float32)
                  + jnp.asarray(np.where(np.isfinite(log_c_k_m),
                                         log_c_k_m, 1e30), jnp.float32)

@@ -58,8 +58,11 @@ def sampson_distance(E: jax.Array, pts0: jax.Array,
     return num / jnp.maximum(den, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("n_hypotheses", "adaptive", "alpha0",
-                                   "threshold"))
+# threshold/alpha0 stay TRACED: making them static would compile a new
+# 512-hypothesis RANSAC graph per distinct float (the executable-explosion
+# failure mode this repo hit in CI — see _bucket_pad, sfm/incremental.py);
+# in adaptive mode threshold is rebound to a tracer anyway.
+@partial(jax.jit, static_argnames=("n_hypotheses", "adaptive"))
 def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
                      valid: jax.Array, threshold: float = 1e-5,
                      n_hypotheses: int = 512,
