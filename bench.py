@@ -144,6 +144,12 @@ def _build(n_views, h, w, v_nbr):
                       estimation_iters=2, random_iters=4,
                       use_optical_flow=0, use_geo_consistency=1,
                       use_part_consistency=1)
+    # A/B hook: JSON dict of DenseConfig field overrides (used by perf
+    # experiments and the 10-view operating-point row; not set by the
+    # production bench path)
+    overrides = os.environ.get("HCMVS_BENCH_CFG")
+    if overrides:
+        cfg = cfg.replace(**json.loads(overrides))
     state = init_scene_state(jax.random.PRNGKey(0), scene)
     return state, scene, cfg
 

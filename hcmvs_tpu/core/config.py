@@ -112,6 +112,19 @@ class DenseConfig:
                                        # iteration — whose scores gate the
                                        # confidence threshold — uses the
                                        # full patch_step sampling.
+    explore_until_last: bool = True    # within a FULL-sampling sweep
+                                       # call (the final external
+                                       # iteration), run all but the
+                                       # LAST inner iteration at the
+                                       # coarse explore_patch_step
+                                       # sampling too — only the final
+                                       # sweep's scores gate the
+                                       # confidence threshold.  Measured
+                                       # r5 (ridge golden 640x480 full
+                                       # schedule + 1280x960 fixed-FOV
+                                       # ladder): accuracy unchanged
+                                       # (see BASELINE.md r5) at ~40%
+                                       # less full-sampling work.
     cross_scale_inject: int = 1        # B stages: score the upsampled
                                        # previous-level (depth, normal) as a
                                        # PatchMatch candidate at the last
@@ -234,6 +247,46 @@ class DenseConfig:
                                        # only) and add one select-merged
                                        # lane gather per extra chunk to
                                        # each lookup.
+    candidate_kernel: str = "auto"     # score ALL propagation candidates
+                                       # through ONE multi-column lookup
+                                       # kernel call per view
+                                       # (ops/volume.py
+                                       # volume_lookup_multi): the
+                                       # (P, 128) sigma table streams
+                                       # from HBM once per view instead
+                                       # of once per candidate (u16
+                                       # fixed-point index panels,
+                                       # sentinel-masked u16 value
+                                       # panels, single-pass fused
+                                       # consume).  MEASURED r5 on the
+                                       # v5e tunnel flagship: 4.96
+                                       # s/round vs the per-candidate
+                                       # scan's 4.36 — the 9x
+                                       # table-stream saving is offset
+                                       # by panel relayout + consume
+                                       # re-read traffic at the
+                                       # tunnel's effective bandwidth,
+                                       # so "auto" resolves OFF (see
+                                       # score.use_candidate_batch);
+                                       # "on" forces it for
+                                       # higher-bandwidth parts.
+                                       # Unlike the retired
+                                       # batch_candidates (vmapped whole
+                                       # cost graphs, measured-OOM at
+                                       # 1280x960), only the (P, K*S)
+                                       # u16 panels materialize.
+    refine_batched: bool = False       # random-refinement ladder scored
+                                       # as ONE batched candidate set
+                                       # (all annealed scales perturbed
+                                       # from the post-propagation best,
+                                       # carry-free argmin) instead of
+                                       # sequentially accepted steps.
+                                       # Measured r5 flagship: 4.41 vs
+                                       # 4.36 s/round — neutral on the
+                                       # tunnel, so the default keeps
+                                       # the reference's sequential-
+                                       # acceptance semantics
+                                       # (ref: DepthMap.cpp:1441-1501).
     volume_build: str = "auto"         # how the exact-scoring sigma
                                        # tables are BUILT.  "auto": the
                                        # rect-frame Pallas kernel on TPU

@@ -59,6 +59,9 @@ class ScoreContext:
     vol: Optional[object] = None       # ops.volume.VolumeTables (V-batched)
                                        # routing exact scoring through the
                                        # sigma-sweep lane-gather kernel
+    vol_bounds: Optional[jax.Array] = None  # (V, P_pad, 128) u16 kernel
+                                       # bounds panels (score.volume_bounds)
+                                       # — hoisted to once per sweep call
     rect: Optional[object] = None      # ops.rect_gather.RectContext —
                                        # rectified-epipolar neighbor-map
                                        # lookups for the geo term and
@@ -80,17 +83,15 @@ def propagation_offsets(cfg: DenseConfig) -> list:
     return offs
 
 
-def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
-                 cur_depth_map: jax.Array, cur_normal_map: jax.Array,
-                 delta_c2pmax: jax.Array, cfg: DenseConfig,
-                 phase: int, offsets: np.ndarray) -> jax.Array:
-    """Aggregated per-pixel cost of a hypothesis field (H, W) -> (H, W).
-
-    ``phase`` 0 = photometric (it_ext < photo2geo), 1 = geometric.
-    """
-    ncc, bad = S.score_photometric(ctx.geom, ctx.src_grays, ctx.stats,
-                                   ctx.hw, depth, normal, ctx.rays,
-                                   offsets, cfg, phase, vol=ctx.vol)
+def finish_cost(ctx: ScoreContext, ncc: jax.Array, bad: jax.Array,
+                depth: jax.Array, normal: jax.Array,
+                cur_depth_map: jax.Array, cur_normal_map: jax.Array,
+                delta_c2pmax: jax.Array, cfg: DenseConfig,
+                phase: int) -> jax.Array:
+    """Everything after the photometric term: smoothness bonus, geometric
+    / flow / local-smoothness blends, view aggregation, prior
+    (ref: ScorePixelImage blending DepthMap.cpp:890-958 + ScorePixel
+    aggregation :987-1046).  ``ncc``/``bad`` are (V, H, W)."""
     bonus = S.smoothness_bonus(cur_depth_map, cur_normal_map, ctx.rays,
                                depth, normal, cfg)
     # the bonus applies only to real matches: thRobust placeholders for
@@ -123,6 +124,21 @@ def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
     if phase >= 1 and ctx.prior_depth is not None:
         agg = S.prior_blend(agg, depth, ctx.prior_depth, cfg)
     return agg
+
+
+def compute_cost(ctx: ScoreContext, depth: jax.Array, normal: jax.Array,
+                 cur_depth_map: jax.Array, cur_normal_map: jax.Array,
+                 delta_c2pmax: jax.Array, cfg: DenseConfig,
+                 phase: int, offsets: np.ndarray) -> jax.Array:
+    """Aggregated per-pixel cost of a hypothesis field (H, W) -> (H, W).
+
+    ``phase`` 0 = photometric (it_ext < photo2geo), 1 = geometric.
+    """
+    ncc, bad = S.score_photometric(ctx.geom, ctx.src_grays, ctx.stats,
+                                   ctx.hw, depth, normal, ctx.rays,
+                                   offsets, cfg, phase, vol=ctx.vol)
+    return finish_cost(ctx, ncc, bad, depth, normal, cur_depth_map,
+                       cur_normal_map, delta_c2pmax, cfg, phase)
 
 
 def _propagate_from(state_depth: jax.Array, state_normal: jax.Array,
@@ -170,6 +186,69 @@ def _perturb(key: jax.Array, depth: jax.Array, normal: jax.Array,
                                                   rays[2])))
 
 
+def _select_by_index(stack: jax.Array, k_star: jax.Array) -> jax.Array:
+    """stack[k_star[p], ..., p] via an unrolled where-chain.
+
+    NEVER use take_along_axis for this on TPU: indexing the candidate
+    axis per pixel is a per-index gather (~120M idx/s — measured 3s/round
+    regression at 1280x960); the unrolled chain fuses into one
+    elementwise pass over the K panels."""
+    k_n = stack.shape[0]
+    sel = stack[0]
+    for k in range(1, k_n):
+        m = k_star == k
+        if stack.ndim == 4:                        # (K, 3, H, W) normals
+            m = m[None]
+        sel = jnp.where(m, stack[k], sel)
+    return sel
+
+
+def _batched_best(ctx: ScoreContext, cd: jax.Array, cn: jax.Array,
+                  cv: jax.Array, biases, init, cur_d: jax.Array,
+                  cur_n: jax.Array, delta_c2pmax: jax.Array,
+                  cfg: DenseConfig, phase: int, offsets) -> tuple:
+    """Score a (K, ...) candidate stack through the batched volume kernel
+    and fold to (best_cost, best_index).
+
+    The photometric term of all K candidates rides one multi-column
+    lookup call per view; the remaining cost terms fold in a scan whose
+    carry is just (cost, index) — the best candidate's fields are
+    reconstructed from the stack by the caller.  ``biases`` (K,) are
+    acceptance bonuses (the restore-variant 0.1 injection rule: candidate
+    k wins when cost_k - bias_k beats the incumbent's RAW cost, and the
+    raw cost is what gets stored).  ``init``: None starts from
+    (inf, index -1); (cost0, None) starts from an incumbent cost with
+    index -1 (callers treat -1 as "keep incumbent fields").
+    """
+    ncc_all, bad_all = S.photometric_scores_volume_batched(
+        ctx.geom, ctx.vol, ctx.stats, ctx.hw, cd, cn, ctx.rays, offsets,
+        cfg, bounds_all=ctx.vol_bounds)
+    k_n = cd.shape[0]
+    h, w = cur_d.shape
+    if biases is None:
+        biases = jnp.zeros((k_n,), jnp.float32)
+    if init is None:
+        init = (jnp.full((h, w), jnp.inf, jnp.float32),
+                jnp.full((h, w), -1, jnp.int32))
+    elif init[1] is None:
+        init = (init[0], jnp.full((h, w), -1, jnp.int32))
+
+    def step(carry, xs):
+        bc, bk = carry
+        ncc_k, bad_k, d_k, n_k, v_k, b_k, kidx = xs
+        c_k = finish_cost(ctx, ncc_k, bad_k, d_k, n_k, cur_d, cur_n,
+                          delta_c2pmax, cfg, phase)
+        c_k = jnp.where(v_k, c_k, jnp.inf)
+        better = (c_k - b_k) < bc
+        return (jnp.where(better, c_k, bc),
+                jnp.where(better, kidx, bk)), None
+
+    (bc, bk), _ = jax.lax.scan(
+        step, init, (ncc_all, bad_all, cd, cn, cv, biases,
+                     jnp.arange(k_n, dtype=jnp.int32)))
+    return bc, bk
+
+
 def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
                phase: int, parity: int, offsets: np.ndarray,
                prop_offsets: list, inject: bool = False) -> PatchMatchState:
@@ -201,7 +280,14 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
                 jnp.where(better[None], n_cand, bn),
                 jnp.where(better, c, bc))
 
-    best = (state.depth, state.normal, cost_of(state.depth, state.normal))
+    # batched-kernel candidate path: the photometric term of EVERY
+    # candidate rides one multi-column volume-lookup call per view
+    # (score.photometric_scores_volume_batched); only active when exact
+    # scoring would route through the tables for this phase
+    exact_phase = (cfg.score_mode == "exact"
+                   or (cfg.score_mode == "hybrid" and phase >= 1))
+    use_batch = (S.use_candidate_batch(cfg) and ctx.vol is not None
+                 and exact_phase)
 
     # propagation: stack the (cheap) candidate fields, scan the (expensive)
     # scoring so its graph is emitted once — compile time stays flat in the
@@ -231,7 +317,39 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
             cand_v.append(vs_ok[v] & (vs_d[v] >= ctx.d_min * 0.8)
                           & (vs_d[v] <= ctx.d_max * 1.2))
 
-    if cfg.batch_candidates:
+    inject_fields = None
+    if inject and ctx.inject_depth is not None:
+        # cross-scale hypothesis fields (ref: restore/libs/MVS/
+        # DepthMap.cpp:1527-1549): the upsampled previous-stage
+        # (depth, normal), accepted with a 0.1 score bonus against the
+        # incumbent's raw cost (conf > nconf - 0.1); stored cost stays
+        # unbonused.
+        d_i = ctx.inject_depth
+        n_i = jnp.stack(face_camera_t(
+            (ctx.inject_normal[0], ctx.inject_normal[1],
+             ctx.inject_normal[2]),
+            (ctx.rays[0], ctx.rays[1], ctx.rays[2])))
+        ok_i = ((d_i > 0) & (d_i >= ctx.d_min * 0.8)
+                & (d_i <= ctx.d_max * 1.2))
+        inject_fields = (d_i, n_i, ok_i)
+
+    if use_batch:
+        # current state is candidate 0; every candidate's photometric
+        # term comes from ONE multi-column kernel call per view, and the
+        # fold carries only (cost, argmin-index) — the 5-plane best-state
+        # scan carry of the per-candidate path was measured at ~20% of
+        # the flagship device round (r4 roofline)
+        cd = jnp.concatenate([cur_d[None], jnp.stack(cand_d)])
+        cn = jnp.concatenate([cur_n[None], jnp.stack(cand_n)])
+        cv = jnp.concatenate([jnp.ones_like(cur_d, bool)[None],
+                              jnp.stack(cand_v)])
+        bc, bk = _batched_best(ctx, cd, cn, cv, None, None, cur_d, cur_n,
+                               delta_c2pmax, cfg, phase, offsets)
+        bk = jnp.maximum(bk, 0)
+        best = (_select_by_index(cd, bk), _select_by_index(cn, bk), bc)
+    elif cfg.batch_candidates:
+        best = (state.depth, state.normal,
+                cost_of(state.depth, state.normal))
         # evaluate every propagation candidate in ONE vmapped cost graph:
         # bigger fused ops keep the VPU fed (the scan variant evaluates
         # candidates serially); memory cost is C x (V, H, W) intermediates
@@ -250,46 +368,125 @@ def half_sweep(state: PatchMatchState, ctx: ScoreContext, cfg: DenseConfig,
                 jnp.take_along_axis(all_n, kn, 0)[0],
                 jnp.take_along_axis(all_c, k[None], 0)[0])
     else:
-        def prop_step(best, cand):
-            d_p, n_p, valid = cand
-            return consider(best, d_p, n_p, valid), None
+        # carry-FREE candidate scan: emit each candidate's cost as a
+        # stacked output and reconstruct the winner from the candidate
+        # stacks by argmin index.  The former fold carried the 5-plane
+        # (depth, normal, cost) best state through every step — measured
+        # at 0.90s of scan-carry copies per flagship round (r4 roofline).
+        cd = jnp.concatenate([cur_d[None], jnp.stack(cand_d)])
+        cn = jnp.concatenate([cur_n[None], jnp.stack(cand_n)])
+        cv = jnp.concatenate([jnp.ones_like(cur_d, bool)[None],
+                              jnp.stack(cand_v)])
 
-        best, _ = jax.lax.scan(
-            prop_step, best,
-            (jnp.stack(cand_d), jnp.stack(cand_n), jnp.stack(cand_v)))
+        def prop_step(_, cand):
+            d_p, n_p, valid = cand
+            return None, jnp.where(valid, cost_of(d_p, n_p), jnp.inf)
+
+        _, costs = jax.lax.scan(prop_step, None, (cd, cn, cv))
+        k = jnp.argmin(costs, axis=0)                # (H, W)
+        best = (_select_by_index(cd, k), _select_by_index(cn, k),
+                jnp.min(costs, axis=0))
 
     # annealed random refinement: scan with traced per-step scale
     key, *subs = jax.random.split(state.key, cfg.random_iters + 1)
     scales = 0.5 ** jnp.arange(cfg.random_iters, dtype=jnp.float32)
 
-    def refine_step(best, inp):
-        sub, scale = inp
-        d_r, n_r = _perturb(sub, best[0], best[1], ctx.rays, scale, cfg)
-        valid = (d_r >= ctx.d_min * 0.8) & (d_r <= ctx.d_max * 1.2)
-        return consider(best, d_r, n_r, valid), None
-
-    if cfg.random_iters:
-        best, _ = jax.lax.scan(refine_step, best,
-                               (jnp.stack(subs), scales))
-
-    if inject and ctx.inject_depth is not None:
-        # cross-scale hypothesis injection (ref: restore/libs/MVS/
-        # DepthMap.cpp:1527-1549): at the last inner iteration of the last
-        # external iteration, score the upsampled previous-stage
-        # (depth, normal) as a candidate and accept it with a 0.1 score
-        # bonus (conf > nconf - 0.1); the stored cost stays unbonused.
-        d_i = ctx.inject_depth
-        n_i = jnp.stack(face_camera_t(
-            (ctx.inject_normal[0], ctx.inject_normal[1],
-             ctx.inject_normal[2]),
-            (ctx.rays[0], ctx.rays[1], ctx.rays[2])))
-        ok = (d_i > 0) & (d_i >= ctx.d_min * 0.8) & (d_i <= ctx.d_max * 1.2)
-        c_i = jnp.where(ok, cost_of(d_i, n_i), jnp.inf)
+    if use_batch and cfg.refine_batched:
+        # all annealed scales perturb the POST-PROPAGATION best and score
+        # as one batched candidate set (one more kernel table pass instead
+        # of R); the cross-scale injection joins this batch with its 0.1
+        # bias, so it is still compared against the refined incumbent
         bd, bn, bc = best
-        better = (c_i - 0.1) < bc
-        best = (jnp.where(better, d_i, bd),
-                jnp.where(better[None], n_i, bn),
-                jnp.where(better, c_i, bc))
+        r_d, r_n, r_v, r_b = [], [], [], []
+        if cfg.random_iters:
+            rd, rn = jax.vmap(
+                lambda kk, sc: _perturb(kk, bd, bn, ctx.rays, sc, cfg))(
+                    jnp.stack(subs), scales)
+            for r in range(cfg.random_iters):
+                r_d.append(rd[r])
+                r_n.append(rn[r])
+                r_v.append((rd[r] >= ctx.d_min * 0.8)
+                           & (rd[r] <= ctx.d_max * 1.2))
+                r_b.append(0.0)
+        if inject_fields is not None:
+            r_d.append(inject_fields[0])
+            r_n.append(inject_fields[1])
+            r_v.append(inject_fields[2])
+            r_b.append(0.1)
+        if r_d:
+            rd_s = jnp.stack(r_d)
+            rn_s = jnp.stack(r_n)
+            rv_s = jnp.stack(r_v)
+            bc2, bk2 = _batched_best(
+                ctx, rd_s, rn_s, rv_s,
+                jnp.asarray(r_b, jnp.float32), (bc, None), cur_d, cur_n,
+                delta_c2pmax, cfg, phase, offsets)
+            sel = jnp.maximum(bk2, 0)
+            nd = _select_by_index(rd_s, sel)
+            nn = _select_by_index(rn_s, sel)
+            upd = bk2 >= 0
+            best = (jnp.where(upd, nd, bd),
+                    jnp.where(upd[None], nn, bn), bc2)
+    elif cfg.refine_batched:
+        # same batched-from-base refinement semantics on the scan path:
+        # all annealed scales perturb the post-propagation best, scored
+        # by a carry-free scan, winner by (bias-adjusted) argmin
+        bd, bn, bc = best
+        r_d, r_n, r_v, r_b = [], [], [], []
+        if cfg.random_iters:
+            rd, rn = jax.vmap(
+                lambda kk, sc: _perturb(kk, bd, bn, ctx.rays, sc, cfg))(
+                    jnp.stack(subs), scales)
+            for r in range(cfg.random_iters):
+                r_d.append(rd[r])
+                r_n.append(rn[r])
+                r_v.append((rd[r] >= ctx.d_min * 0.8)
+                           & (rd[r] <= ctx.d_max * 1.2))
+                r_b.append(0.0)
+        if inject_fields is not None:
+            r_d.append(inject_fields[0])
+            r_n.append(inject_fields[1])
+            r_v.append(inject_fields[2])
+            r_b.append(0.1)
+        if r_d:
+            rd_s = jnp.stack(r_d)
+            rn_s = jnp.stack(r_n)
+            rv_s = jnp.stack(r_v)
+            rb_s = jnp.asarray(r_b, jnp.float32)
+
+            def r_step(_, x):
+                d_r, n_r, v_r = x
+                return None, jnp.where(v_r, cost_of(d_r, n_r), jnp.inf)
+
+            _, rc = jax.lax.scan(r_step, None, (rd_s, rn_s, rv_s))
+            eff = jnp.concatenate([bc[None],
+                                   rc - rb_s[:, None, None]])
+            raw = jnp.concatenate([bc[None], rc])
+            all_d = jnp.concatenate([bd[None], rd_s])
+            all_n = jnp.concatenate([bn[None], rn_s])
+            k2 = jnp.argmin(eff, axis=0)
+            best = (_select_by_index(all_d, k2),
+                    _select_by_index(all_n, k2),
+                    _select_by_index(raw, k2))
+    else:
+        def refine_step(best, inp):
+            sub, scale = inp
+            d_r, n_r = _perturb(sub, best[0], best[1], ctx.rays, scale, cfg)
+            valid = (d_r >= ctx.d_min * 0.8) & (d_r <= ctx.d_max * 1.2)
+            return consider(best, d_r, n_r, valid), None
+
+        if cfg.random_iters:
+            best, _ = jax.lax.scan(refine_step, best,
+                                   (jnp.stack(subs), scales))
+
+        if inject_fields is not None:
+            d_i, n_i, ok = inject_fields
+            c_i = jnp.where(ok, cost_of(d_i, n_i), jnp.inf)
+            bd, bn, bc = best
+            better = (c_i - 0.1) < bc
+            best = (jnp.where(better, d_i, bd),
+                    jnp.where(better[None], n_i, bn),
+                    jnp.where(better, c_i, bc))
 
     bd, bn, bc = best
     if cfg.sweep_mode == "jacobi":

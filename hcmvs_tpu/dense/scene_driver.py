@@ -90,6 +90,13 @@ def _per_view_context(scene: SceneTensors, i: jax.Array,
     offsets = S.patch_offsets(cfg)
     stats = S.ref_patch_stats(scene.gray[i], hw, offsets)
     rays = pixel_rays(geom.K_inv_ref, h, w)
+    vol_i = (None if scene.vols is None
+             else jax.tree.map(lambda x: x[i], scene.vols))
+    vb = None
+    if (vol_i is not None and S.use_candidate_batch(cfg)
+            and cfg.use_pallas and jax.default_backend() == "tpu"):
+        from hcmvs_tpu.ops.volume import use_rect_volume_build
+        vb = S.volume_bounds(vol_i, use_rect_volume_build(cfg, h, w))
     return ScoreContext(
         geom=geom, src_grays=scene.gray[scene.nbr_idx[i]], stats=stats,
         hw=hw, rays=rays, gra=gra, d_min=scene.d_min[i],
@@ -102,8 +109,7 @@ def _per_view_context(scene: SceneTensors, i: jax.Array,
                       else scene.inject_depth[i]),
         inject_normal=(None if scene.inject_normal is None
                        else scene.inject_normal[i]),
-        vol=(None if scene.vols is None
-             else jax.tree.map(lambda x: x[i], scene.vols)))
+        vol=vol_i, vol_bounds=vb)
 
 
 @partial(jax.jit, static_argnames=("cfg", "phase", "n_iters", "use_nbr",
@@ -122,6 +128,14 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
     """
     offsets = S.patch_offsets(cfg)
     prop_offsets = propagation_offsets(cfg)
+    # explore-until-last: within a full-sampling call, all but the LAST
+    # inner iteration may still use the coarse explore sampling — only
+    # the final sweep's scores gate the confidence threshold
+    split = (cfg.explore_until_last and cfg.explore_patch_step
+             and cfg.patch_step != cfg.explore_patch_step and n_iters > 1)
+    cfg_x = (cfg.replace(patch_step=cfg.explore_patch_step) if split
+             else cfg)
+    offsets_x = S.patch_offsets(cfg_x)
     # snapshot for cross-view reads: frozen for the whole call
     depth0, normal0 = state.depth, state.normal
     inject = inject and scene.inject_depth is not None
@@ -145,22 +159,25 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
             rect = build_rect_context(
                 ctx.geom, pack_depth_normals(nbr_depth, nbr_normal))
             ctx = dataclasses.replace(ctx, rect=rect)
+        if split:
+            ctx_x = dataclasses.replace(
+                ctx, stats=S.ref_patch_stats(scene.gray[i], ctx.hw,
+                                             offsets_x))
+        else:
+            ctx_x = ctx
 
-        def one_iter(s, inj):
-            s = half_sweep(s, ctx, cfg, phase, 0, offsets, prop_offsets,
+        def one_iter(s, inj, c_, ctx_, off_):
+            s = half_sweep(s, ctx_, c_, phase, 0, off_, prop_offsets,
                            inject=inj)
             if cfg.sweep_mode != "jacobi":
-                s = half_sweep(s, ctx, cfg, phase, 1, offsets, prop_offsets,
+                s = half_sweep(s, ctx_, c_, phase, 1, off_, prop_offsets,
                                inject=inj)
             return s
 
-        if inject:
-            st = jax.lax.fori_loop(0, n_iters - 1,
-                                   lambda _, s: one_iter(s, False), st)
-            st = one_iter(st, True)
-        else:
-            st = jax.lax.fori_loop(0, n_iters,
-                                   lambda _, s: one_iter(s, False), st)
+        st = jax.lax.fori_loop(
+            0, n_iters - 1,
+            lambda _, s: one_iter(s, False, cfg_x, ctx_x, offsets_x), st)
+        st = one_iter(st, inject, cfg, ctx, offsets)
         return st.depth, st.normal, st.cost, st.key
 
     idx = jnp.arange(state.depth.shape[0])

@@ -80,6 +80,10 @@ class RefPatchStats(NamedTuple):
     sum_w: jax.Array     # (H, W) sum of bilateral weights
     ref_pad: jax.Array   # (H+2P, W+2P) edge-padded gray image; P derived
                          # statically from the offsets (max |offset|)
+    wts: jax.Array       # (S, H, W) bilateral patch weights per offset —
+                         # candidate-independent, so the batched scoring
+                         # path reuses them across every hypothesis
+                         # instead of re-deriving them per scan step
 
 
 def _pad_of(offsets) -> int:
@@ -131,7 +135,7 @@ def ref_patch_stats(ref_gray: jax.Array, hw: jax.Array,
     tm = jnp.sum(wts * v_ds, axis=0) / jnp.maximum(sum_w, 1e-12)
     norm_sq0 = jnp.sum(wts * (v_ds - tm) ** 2, axis=0)
     return RefPatchStats(tm=tm, norm_sq0=norm_sq0, sum_w=sum_w,
-                         ref_pad=ref_pad)
+                         ref_pad=ref_pad, wts=wts)
 
 
 def photometric_scores(geom: ViewGeometry, src_grays: jax.Array,
@@ -473,6 +477,257 @@ def photometric_scores_volume(geom: ViewGeometry, vol, stats: RefPatchStats,
         return jnp.where(bad, th_robust, score), bad
 
     return jax.vmap(per_view)(vol.tab, vol.sig_lo, vol.sig_hi)
+
+
+def volume_bounds(vol, blocked: bool) -> jax.Array:
+    """Per-view kernel bounds panels (V, P_pad, 128) u16 for the bounded
+    packed lookup (lo replicated in lanes 0..63, hi in 64..127; encoded
+    f * F_PACK_SCALE scale).  Depends only on the stage-static validity
+    intervals — build once per sweep call, not per candidate batch."""
+    from hcmvs_tpu.ops.volume import F_PACK_SCALE, to_volume_order
+    p_pad = vol.tab.shape[-2]
+    d_planes = vol.tab.shape[-1]
+
+    def per_view(lo_v, hi_v, sig0, inv_dsig):
+        lo_idx = (lo_v - sig0) * inv_dsig
+        hi_idx = (hi_v - sig0) * inv_dsig
+        lo_e = jnp.ceil(jnp.clip(lo_idx * F_PACK_SCALE, 0.0, 65535.0))
+        hi_e = jnp.floor(jnp.clip(
+            jnp.minimum(hi_idx, d_planes - 1.0) * F_PACK_SCALE,
+            0.0, 65534.0))
+        # intervals entirely outside the grid must stay EMPTY after the
+        # clips (clip alone would leave [0, 0] admitting f = 0)
+        lo_e = jnp.where((hi_idx < 0.0) | (lo_idx > 1023.0), 65535.0,
+                         lo_e)
+        lo_r = to_volume_order(lo_e) if blocked else lo_e.reshape(-1)
+        hi_r = to_volume_order(hi_e) if blocked else hi_e.reshape(-1)
+        lo_r = jnp.pad(lo_r, (0, p_pad - lo_r.shape[0]))
+        hi_r = jnp.pad(hi_r, (0, p_pad - hi_r.shape[0]))
+        return jnp.concatenate(
+            [jnp.broadcast_to(lo_r[:, None], (p_pad, 64)),
+             jnp.broadcast_to(hi_r[:, None], (p_pad, 64))],
+            axis=1).astype(jnp.uint16)
+
+    return jax.vmap(per_view)(vol.sig_lo, vol.sig_hi, vol.sig0,
+                              vol.inv_dsig)
+
+
+def photometric_scores_volume_batched(geom: ViewGeometry, vol,
+                                      stats: RefPatchStats, hw: jax.Array,
+                                      depths: jax.Array, normals: jax.Array,
+                                      rays: jax.Array, offsets,
+                                      cfg: DenseConfig, bounds_all=None
+                                      ) -> Tuple[jax.Array, jax.Array]:
+    """Exact sigma-volume scoring of a BATCH of K candidate hypotheses.
+
+    Semantics identical to vmapping photometric_scores_volume over the
+    candidate axis, but all K x S index columns ride ONE multi-column
+    lane-gather kernel per view (ops/volume.py volume_lookup_multi), so
+    the dominant HBM cost — streaming the (P, 128) table — is paid once
+    per view instead of once per candidate (the r4 roofline's
+    candidate-at-a-time wall; ref: the ProcessPixel candidate loop,
+    frame_main/libs/MVS/DepthMap.cpp:1050-1668).  The ZNCC accumulation
+    uses the precomputed candidate-independent bilateral weights
+    (stats.wts) as a vectorized reduction over the offset axis instead
+    of a per-offset scan.
+
+    ``depths`` (K, H, W), ``normals`` (K, 3, H, W); returns
+    (scores, bad) both (K, V, H, W).
+    """
+    from hcmvs_tpu.ops.volume import (_round_up, from_volume_order_multi,
+                                      to_volume_order_multi,
+                                      use_rect_volume_build,
+                                      volume_lookup_multi,
+                                      volume_lookup_xla)
+    k_n, h, w = depths.shape
+    blocked = use_rect_volume_build(cfg, h, w)
+    pad = _pad_of(offsets)
+    th_robust = cfg.ncc_threshold_keep * 1.2
+    s_count = len(offsets)
+    Ki = geom.K_inv_ref
+    p_pad = vol.tab.shape[1]
+    d_planes = vol.tab.shape[-1]
+    c_total = k_n * s_count
+    c_pad = _round_up(c_total, 64)
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    from hcmvs_tpu.ops.volume import F_PACK_SCALE
+
+    def fields(depth, normal):
+        nx, ny, nz = normal[0], normal[1], normal[2]
+        n_ray0 = nx * rays[0] + ny * rays[1] + nz * rays[2]
+        d_plane = n_ray0 * depth
+        inv_dp = 1.0 / jnp.where(jnp.abs(d_plane) < 1e-12, 1e-12, d_plane)
+        nk_x = nx * Ki[0, 0] + ny * Ki[1, 0] + nz * Ki[2, 0]
+        nk_y = nx * Ki[0, 1] + ny * Ki[1, 1] + nz * Ki[2, 1]
+        s_c = n_ray0 * inv_dp
+        gx = nk_x * inv_dp
+        gy = nk_y * inv_dp
+        s_cp = jnp.pad(s_c, pad, mode="edge")
+        gxp = jnp.pad(gx, pad, mode="edge")
+        gyp = jnp.pad(gy, pad, mode="edge")
+
+        def combo(dy, dx):
+            # forward-shifted: row q of field k holds s(q - delta_k) so
+            # the lookup lands on the SAMPLE pixel's table row (see
+            # photometric_scores_volume)
+            fwd = (_shifted(s_cp, pad, -dy, -dx, h, w)
+                   + _shifted(gxp, pad, -dy, -dx, h, w) * dx
+                   + _shifted(gyp, pad, -dy, -dx, h, w) * dy)
+            if not use_pallas:
+                return fwd
+            # u16 fixed-point transfer encoding (F_PACK_SCALE) fused
+            # into the field build: the f32 (K, S, H, W) panels never
+            # materialize.  Validity rides the SAME encoded domain —
+            # sentinel 0xFFFF here for beyond-grid sigmas, per-view
+            # interval bounds inside the kernel.
+            f = (fwd - vol.sig0[0]) * vol.inv_dsig[0]
+            in_grid = (f >= 0.0) & (f <= d_planes - 1.0)
+            return jnp.where(in_grid, jnp.round(f * F_PACK_SCALE),
+                             65535.0).astype(jnp.uint16)
+
+        fwd = jnp.stack([combo(dy, dx) for dy, dx in offsets])
+        return fwd, s_c
+
+    fwd_all, s_c_all = jax.vmap(fields)(depths, normals)  # (K,S,H,W)
+    if use_pallas:
+        f_c = fwd_all.reshape(c_total, h, w)           # u16, encoded
+    else:
+        f3 = (fwd_all - vol.sig0[0]) * vol.inv_dsig[0]
+        f_c = f3.reshape(c_total, h, w)
+    # pad the channel axis FIRST so every reorder intermediate keeps an
+    # aligned minor dim (see to_volume_order_multi)
+    f_cp = jnp.pad(f_c, ((0, c_pad - c_total), (0, 0), (0, 0)))
+    if blocked:
+        f2 = to_volume_order_multi(f_cp)               # (P_used, C)
+    else:
+        f2 = f_cp.reshape(c_pad, h * w).T
+    p_used = f2.shape[0]
+    f2 = jnp.pad(f2, ((0, p_pad - p_used), (0, 0)))    # (P_pad, C)
+    v_ds = _stacked_shifts(stats.ref_pad, pad, offsets, h, w)
+    coef_num = stats.wts * (v_ds - stats.tm[None])     # (S, H, W)
+    if use_pallas:
+        # weight panels are re-read once per candidate x view by the
+        # fused consume below — bf16 halves that traffic; ZNCC is
+        # scale-invariant and the weights are smooth Gaussian factors,
+        # so bf16's 2^-8 RELATIVE quantum is benign (unlike bf16
+        # TABLES, whose absolute intensity quantum measurably blunted
+        # discrimination — BASELINE r3)
+        wts_r = stats.wts.astype(jnp.bfloat16)
+        coef_r = coef_num.astype(jnp.bfloat16)
+        if bounds_all is None:
+            bounds_all = volume_bounds(vol, blocked)
+    # beyond-grid sigmas would silently clamp onto the edge plane
+    sig_hi_grid = vol.sig0[0] + (d_planes - 1) / vol.inv_dsig[0]
+
+    def consume_core(v3k, okk, s_ck, lo_v, hi_v):
+        """ZNCC of one candidate from its (S, H, W) sample panel."""
+        # consumption shift: center p reads sample row p + delta
+        v3p = jnp.pad(v3k, ((0, 0), (pad, pad), (pad, pad)))
+        ok3p = jnp.pad(okk.astype(jnp.float32),
+                       ((0, 0), (pad, pad), (pad, pad)))
+        v_cons = jnp.stack([_shifted(v3p[k], pad, dy, dx, h, w)
+                            for k, (dy, dx) in enumerate(offsets)])
+        ok_cons = jnp.stack([_shifted(ok3p[k], pad, dy, dx, h, w)
+                             for k, (dy, dx) in enumerate(offsets)])
+        w_eff = stats.wts * ok_cons                    # (S, H, W)
+        sw = jnp.sum(w_eff, axis=0)
+        wv = w_eff * v_cons
+        s1 = jnp.sum(wv, axis=0)
+        sq1 = jnp.sum(wv * v_cons, axis=0)
+        num = jnp.sum(coef_num * ok_cons * v_cons, axis=0)
+        var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
+        denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1, 1e-16))
+        ncc = jnp.clip(num / denom, -1.0, 1.0)
+        score = 1.0 - ncc
+        oob = (s_ck < lo_v) | (s_ck > hi_v)
+        bad = (oob | (var1 <= 1e-12)
+               | (stats.norm_sq0 <= cfg.min_patch_variance ** 2))
+        return jnp.where(bad, th_robust, score), bad
+
+    def per_view(tab_v, lo_v, hi_v, bounds_v):
+        if use_pallas:
+            # per-row valid interval handed TO the kernel (encoded
+            # scale, lo/hi replicated in a 64+64-lane bounds panel —
+            # volume_bounds, hoisted to once per sweep call): invalid
+            # lookups come back as the 0xFFFF sentinel, so the value
+            # panel doubles as the validity mask and no separate
+            # (K, S, H, W) ok panel ever crosses HBM
+            out2 = volume_lookup_multi(tab_v, f2, bounds_v)
+        else:
+            out2 = volume_lookup_xla(tab_v, f2)
+        if blocked:
+            v3 = from_volume_order_multi(out2[:p_used], h, w)
+        else:
+            v3 = out2[:p_used].T.reshape(c_pad, h, w)
+        v3 = v3[:c_total].reshape(k_n, s_count, h, w)  # (K, S, H, W)
+        if use_pallas:
+            # single-pass fused accumulation per candidate straight off
+            # the u16 sentinel panel (the stack-then-reduce form cost
+            # ~1.2GB of HBM round-trips per candidate x view); lax.map
+            # keeps one candidate's panels live at a time
+            def consume_k(xs):
+                v3k_u16, s_ck = xs
+                vp = jnp.pad(v3k_u16, ((0, 0), (pad, pad), (pad, pad)),
+                             constant_values=65535)
+                num = jnp.zeros((h, w), jnp.float32)
+                s1 = jnp.zeros((h, w), jnp.float32)
+                sq1 = jnp.zeros((h, w), jnp.float32)
+                sw = jnp.zeros((h, w), jnp.float32)
+                for k, (dy, dx) in enumerate(offsets):
+                    vs = _shifted(vp[k], pad, dy, dx, h, w)
+                    ok = (vs < 65535).astype(jnp.float32)
+                    v1 = vs.astype(jnp.float32) * (1.0 / 65535.0)
+                    w_ok = wts_r[k].astype(jnp.float32) * ok
+                    num = num + coef_r[k].astype(jnp.float32) * ok * v1
+                    s1 = s1 + w_ok * v1
+                    sq1 = sq1 + w_ok * v1 * v1
+                    sw = sw + w_ok
+                var1 = sq1 - s1 * s1 / jnp.maximum(sw, 1e-12)
+                denom = jnp.sqrt(jnp.maximum(stats.norm_sq0 * var1,
+                                             1e-16))
+                ncc = jnp.clip(num / denom, -1.0, 1.0)
+                score = 1.0 - ncc
+                oob = (s_ck < lo_v) | (s_ck > hi_v)
+                bad = (oob | (var1 <= 1e-12)
+                       | (stats.norm_sq0 <= cfg.min_patch_variance ** 2))
+                return jnp.where(bad, th_robust, score), bad
+
+            return jax.lax.map(consume_k, (v3, s_c_all))
+        ok3 = ((fwd_all >= lo_v[None, None])
+               & (fwd_all <= hi_v[None, None])
+               & (fwd_all >= vol.sig0[0]) & (fwd_all <= sig_hi_grid))
+        return jax.vmap(
+            lambda v3k, okk, s_ck: consume_core(v3k, okk, s_ck, lo_v,
+                                                hi_v))(v3, ok3, s_c_all)
+
+    # Python loop over views (V is small and static): each view's big
+    # (P_pad, C) lookup output is consumed before the next view's is
+    # produced, bounding peak HBM at reference-scale sizes
+    v = vol.tab.shape[0]
+    scores, bads = [], []
+    for vi in range(v):
+        s_v, b_v = per_view(vol.tab[vi], vol.sig_lo[vi], vol.sig_hi[vi],
+                            None if bounds_all is None else bounds_all[vi])
+        scores.append(s_v)
+        bads.append(b_v)
+    return (jnp.stack(scores, axis=1), jnp.stack(bads, axis=1))
+
+
+def use_candidate_batch(cfg: DenseConfig) -> bool:
+    """Whether propagation candidates are scored through the batched
+    multi-column kernel path (requires the volume backend).
+
+    "auto" resolves OFF: measured on the v5e tunnel (r5, 1280x960
+    flagship), the batched path reached parity but never beat the
+    per-candidate scan (4.96 vs 4.36 s/round) — the 9x table-stream
+    saving (0.77s of kernel time) is offset by the (P, K*S) panel
+    relayouts and per-candidate consume re-reads at the tunnel's
+    ~30-60 GB/s effective HBM.  On directly-attached TPUs with higher
+    effective bandwidth the balance may flip — flip "on" and re-bench.
+    """
+    if cfg.candidate_kernel == "on":
+        return True
+    return False
 
 
 def use_volume_tables(cfg: DenseConfig) -> bool:

@@ -280,6 +280,152 @@ def volume_lookup(tab: jax.Array, f: jax.Array,
     )(tab, f)
 
 
+F_PACK_SCALE = 64       # u16 fixed-point index encoding: quantum 1/64
+                        # sigma plane (planes are ~1-3px apart along the
+                        # epipolar line, so <=0.05px quantization — far
+                        # below the build's own lerp residual); covers
+                        # up to 1023 planes
+
+
+def _lookup_multi_kernel(tab_ref, f_ref, *refs, c: int, n_chunks: int,
+                         packed: bool, bounded: bool):
+    """Multi-candidate gather+lerp: the in-kernel candidate loop.
+
+    Like _lookup_kernel but serving C = K*S index columns (all K
+    PatchMatch candidates' patch samples) against ONE resident table
+    tile: the dominant HBM cost of exact scoring — reading the (P, 128)
+    table — is paid once per block instead of once per candidate
+    (ref workload: the ProcessPixel candidate loop,
+    frame_main/libs/MVS/DepthMap.cpp:1050-1668, re-reads nothing).
+    C must be a multiple of 64; each 64-column group packs both lerp
+    taps into one 128-lane dynamic_gather.
+
+    ``packed``: indices arrive u16 fixed-point (f * F_PACK_SCALE,
+    pre-clipped to [0, D-1]) and values leave u16 on the table's raw
+    0..65534 intensity scale — halving the dominant HBM panels
+    (consumers decode with 1/65534).
+
+    ``bounded`` (packed only): a bounds input follows f — (block, 128)
+    u16 with the row's valid-index interval lo replicated in lanes
+    0..63 and hi in lanes 64..127.  Out-of-interval (or sentinel-0xFFFF)
+    lookups emit the sentinel 0xFFFF instead of a value, so consumers
+    derive the validity mask from the value panel itself — no separate
+    mask panel crosses HBM.
+    """
+    d = n_chunks * D_PLANES
+    if bounded:
+        bounds_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
+    if packed:
+        fi = f_ref[...].astype(jnp.int32)              # u16 -> i32
+        i0i = jnp.minimum(fi >> 6, d - 2)
+        t = (fi - (i0i << 6)).astype(jnp.float32) * (1.0 / F_PACK_SCALE)
+        # raw-scale decode (u16 -> i32 -> f32; Mosaic has no direct cast)
+        traw = tab_ref[...]
+        tabf = (traw.astype(jnp.int32).astype(jnp.float32)
+                if traw.dtype == jnp.uint16
+                else traw.astype(jnp.float32) * 65535.0)
+    else:
+        f = f_ref[...]                                 # (block, C)
+        i0 = jnp.clip(jnp.floor(f), 0.0, d - 2.0)
+        t = f - i0
+        i0i = i0.astype(jnp.int32)
+        tabf = _decode_tab(tab_ref[...])               # (block, D)
+    if bounded:
+        b = bounds_ref[...].astype(jnp.int32)          # (block, 128)
+        lo_b = b[:, :64]
+        hi_b = b[:, 64:]
+    outs = []
+    for g in range(c // 64):
+        i0g = i0i[:, g * 64:(g + 1) * 64]
+        i1g = i0g + 1
+        if n_chunks == 1:
+            r = jnp.take_along_axis(
+                tabf, jnp.concatenate([i0g, i1g], axis=1), axis=1)
+            g0 = r[:, :64]
+            g1 = r[:, 64:]
+        else:
+            g0 = jnp.zeros(i0g.shape, jnp.float32)
+            g1 = jnp.zeros(i0g.shape, jnp.float32)
+            for ch in range(n_chunks):
+                r0 = i0g - ch * D_PLANES
+                r1 = r0 + 1
+                idx = jnp.concatenate(
+                    [jnp.clip(r0, 0, D_PLANES - 1),
+                     jnp.clip(r1, 0, D_PLANES - 1)], axis=1)
+                r = jnp.take_along_axis(
+                    tabf[:, ch * D_PLANES:(ch + 1) * D_PLANES], idx,
+                    axis=1)
+                g0 = jnp.where((r0 >= 0) & (r0 < D_PLANES), r[:, :64], g0)
+                g1 = jnp.where((r1 >= 0) & (r1 < D_PLANES), r[:, 64:], g1)
+        lerped = g0 + (g1 - g0) * t[:, g * 64:(g + 1) * 64]
+        if packed:
+            li = jnp.round(lerped).astype(jnp.int32)
+            if bounded:
+                fg = fi[:, g * 64:(g + 1) * 64]
+                ok = (fg >= lo_b) & (fg <= hi_b)
+                li = jnp.where(ok, jnp.minimum(li, 65534), 65535)
+            lerped = li.astype(jnp.uint16)
+        outs.append(lerped)
+    out_ref[...] = jnp.concatenate(outs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def volume_lookup_multi(tab: jax.Array, f: jax.Array, bounds=None,
+                        interpret: bool = False) -> jax.Array:
+    """Lerp-sample per-pixel tables at C index columns per row: tab
+    (P_pad, D), f (P_pad, C) -> (P_pad, C).  C must be a multiple of 64
+    (pad with zeros); D a multiple of 128.  One table-tile load serves
+    all C columns — use this when scoring many candidates x offsets.
+
+    f dtype selects the transfer encoding: float32 in -> float32 out
+    (decoded intensities); uint16 in (fixed-point f * F_PACK_SCALE,
+    pre-clipped to [0, D-1]) -> uint16 out (raw scale, clamped to
+    65534).  ``bounds`` (packed only): (P_pad, 128) u16 per-row valid
+    interval on the encoded scale — lo replicated in lanes 0..63, hi in
+    64..127; out-of-interval lookups output the sentinel 0xFFFF."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    p_pad, d = tab.shape
+    c = f.shape[1]
+    n_chunks = d // D_PLANES
+    packed = f.dtype == jnp.uint16
+    bounded = bounds is not None
+    assert d % D_PLANES == 0 and c % 64 == 0
+    assert not bounded or packed
+    # VMEM budget: in/out blocks are (block, C); keep the working set
+    # (x2 for pallas double buffering) comfortably under the 16MB VMEM
+    if c <= 128:
+        block = _CHUNK
+    elif c <= 256 or packed:
+        block = _CHUNK // 2
+    else:
+        block = _CHUNK // 4
+    assert p_pad % block == 0
+    grid = p_pad // block
+    out_dtype = jnp.uint16 if packed else jnp.float32
+    in_specs = [pl.BlockSpec((block, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [tab, f]
+    if bounded:
+        in_specs.append(pl.BlockSpec((block, 128), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bounds)
+    return pl.pallas_call(
+        functools.partial(_lookup_multi_kernel, c=c, n_chunks=n_chunks,
+                          packed=packed, bounded=bounded),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, c), out_dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def volume_lookup_xla(tab: jax.Array, f: jax.Array) -> jax.Array:
     """Pure-XLA fallback (CPU tests / non-TPU backends)."""
     i0 = jnp.clip(jnp.floor(f), 0.0, tab.shape[1] - 2.0)
@@ -380,6 +526,34 @@ def to_volume_order(x: jax.Array, pad_value: float = 0.0) -> jax.Array:
     x = jnp.moveaxis(x, -3, -2)                   # (..., bh, bw, 8, 128)
     x = jnp.swapaxes(x, -1, -2)                   # (..., bh, bw, 128, 8)
     return x.reshape(*lead, h8 * w128)
+
+
+def to_volume_order_multi(x: jax.Array) -> jax.Array:
+    """(C, H, W) -> (P, C) in the rect build's pixel order.
+
+    Layout-safe variant of ``to_volume_order(...).reshape(C, P).T`` for
+    many channels at once: every intermediate keeps the (128-aligned) C
+    axis minor, where the naive reorder materializes a (..., 128, 8)
+    minor-8 tensor that TPU pads 16x (measured 9.4G for a 1.5G panel —
+    the r5 batched-scoring OOM).  C should be a multiple of 128 for a
+    pad-free layout (pad channels first)."""
+    c, h, w = x.shape
+    h8, w128 = padded_hw(h, w)
+    x = jnp.moveaxis(x, 0, -1)                        # (H, W, C)
+    x = jnp.pad(x, ((0, h8 - h), (0, w128 - w), (0, 0)))
+    x = x.reshape(h8 // 8, 8, w128 // 128, 128, c)
+    x = jnp.transpose(x, (0, 2, 3, 1, 4))             # (bh, bw, 128, 8, C)
+    return x.reshape(h8 * w128, c)
+
+
+def from_volume_order_multi(x: jax.Array, h: int, w: int) -> jax.Array:
+    """Inverse of to_volume_order_multi: (P, C) -> (C, H, W)."""
+    p, c = x.shape
+    h8, w128 = padded_hw(h, w)
+    x = x.reshape(h8 // 8, w128 // 128, 128, 8, c)
+    x = jnp.transpose(x, (0, 3, 1, 2, 4))             # (bh, 8, bw, 128, C)
+    x = x.reshape(h8, w128, c)[:h, :w]
+    return jnp.moveaxis(x, -1, 0)
 
 
 def from_volume_order(x: jax.Array, h: int, w: int) -> jax.Array:

@@ -270,3 +270,140 @@ def test_volume_scores_multichunk_parity():
         meds[chunks] = np.median(d)
     assert meds[2] <= meds[1] * 1.05, meds
     assert meds[2] < 0.01, meds
+
+
+def test_lookup_multi_kernel_matches_xla():
+    """volume_lookup_multi (the in-kernel candidate loop) must agree with
+    the plain XLA lerp across chunk counts and column widths, including
+    chunk-boundary straddles."""
+    from hcmvs_tpu.ops.volume import (_CHUNK, volume_lookup_multi,
+                                      volume_lookup_xla)
+    rng = np.random.default_rng(3)
+    for d, c in ((128, 64), (128, 320), (256, 128)):
+        p = _CHUNK * 2
+        tab = jnp.asarray(rng.random((p, d)), jnp.float32)
+        f = jnp.asarray(rng.random((p, c)) * (d - 1), jnp.float32)
+        f = f.at[:, 0].set(127.5).at[:, 1].set(d - 1.25)
+        ref = volume_lookup_xla(tab, f)
+        out = volume_lookup_multi(tab, f, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_batched_candidate_scores_match_per_candidate():
+    """photometric_scores_volume_batched == vmapped
+    photometric_scores_volume (same lookups, same math — only the
+    offset-accumulation order differs)."""
+    from hcmvs_tpu.dense import score as S
+    from hcmvs_tpu.ops.volume import build_volume_tables
+    sc, cfg, geom, src, stats, hw_map, offsets, rays = _ctx_inputs()
+    h, w = sc.depth_gt.shape
+    rng = np.random.default_rng(5)
+    k_n = 5
+    depths = jnp.asarray(
+        sc.depth_gt[None] * (1 + 0.05 * rng.standard_normal((k_n, h, w))),
+        jnp.float32)
+    normals = []
+    for k in range(k_n):
+        n = sc.normal_gt + 0.2 * rng.standard_normal(3)
+        n = n / np.linalg.norm(n)
+        normals.append(np.broadcast_to(n[:, None, None], (3, h, w)))
+    normals = jnp.asarray(np.stack(normals), jnp.float32)
+    vol = build_volume_tables(geom, src, jnp.float32(sc.d_min),
+                              jnp.float32(sc.d_max))
+    s_ref, b_ref = jax.vmap(
+        lambda d, n: S.photometric_scores_volume(
+            geom, vol, stats, hw_map, d, n, rays, offsets, cfg))(
+                depths, normals)
+    s_bat, b_bat = S.photometric_scores_volume_batched(
+        geom, vol, stats, hw_map, depths, normals, rays, offsets, cfg)
+    assert s_bat.shape == (k_n, src.shape[0], h, w)
+    np.testing.assert_array_equal(np.asarray(b_bat), np.asarray(b_ref))
+    np.testing.assert_allclose(np.asarray(s_bat), np.asarray(s_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_half_sweep_batched_matches_scan_path():
+    """A full half_sweep with candidate_kernel on vs off picks the same
+    hypotheses almost everywhere (fp-reassociation near-ties aside)."""
+    from hcmvs_tpu.dense import patchmatch as PM
+    from hcmvs_tpu.dense.types import init_state
+    from hcmvs_tpu.ops.volume import build_volume_tables
+    sc, cfg, geom, src, stats, hw_map, offsets, rays = _ctx_inputs()
+    h, w = sc.depth_gt.shape
+    vol = build_volume_tables(geom, src, jnp.float32(sc.d_min),
+                              jnp.float32(sc.d_max))
+    base = cfg.replace(random_iters=2, refine_batched=False)
+    st0 = init_state(jax.random.PRNGKey(3), rays,
+                     jnp.float32(sc.d_min), jnp.float32(sc.d_max))
+    outs = {}
+    for mode in ("on", "off"):
+        c = base.replace(candidate_kernel=mode)
+        ctx = PM.make_context(geom, jnp.asarray(sc.images[0]), src,
+                              sc.d_min, sc.d_max, c)
+        import dataclasses
+        ctx = dataclasses.replace(ctx, vol=vol)
+        st = PM.half_sweep(st0, ctx, c, 0, 0, offsets,
+                           PM.propagation_offsets(c))
+        outs[mode] = st
+    d_on = np.asarray(outs["on"].depth)
+    d_off = np.asarray(outs["off"].depth)
+    same_pick = np.isclose(d_on, d_off, rtol=1e-5)
+    assert same_pick.mean() > 0.97, same_pick.mean()
+    c_on = np.asarray(outs["on"].cost)
+    c_off = np.asarray(outs["off"].cost)
+    np.testing.assert_allclose(c_on[same_pick], c_off[same_pick],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_lookup_multi_packed_kernel():
+    """u16-packed transfer encoding (f * F_PACK_SCALE in, raw-scale u16
+    out) matches the f32 path within the fixed-point quantum."""
+    from hcmvs_tpu.ops.volume import (_CHUNK, F_PACK_SCALE,
+                                      volume_lookup_multi,
+                                      volume_lookup_xla)
+    rng = np.random.default_rng(7)
+    p, d, c = _CHUNK, 128, 128
+    tab_u16 = jnp.asarray((rng.random((p, d)) * 65535).round(),
+                          jnp.uint16)
+    f = jnp.asarray(rng.random((p, c)) * (d - 1), jnp.float32)
+    f_enc = jnp.round(jnp.clip(f, 0.0, d - 1.0)
+                      * F_PACK_SCALE).astype(jnp.uint16)
+    out_p = volume_lookup_multi(tab_u16, f_enc, interpret=True)
+    assert out_p.dtype == jnp.uint16
+    ref = volume_lookup_xla(tab_u16, f)          # decoded [0, 1] scale
+    got = np.asarray(out_p).astype(np.float32) / 65535.0
+    # error budget: f quantization (1/64 plane) x max plane-to-plane
+    # delta (~1.0 here for random tables) + output rounding
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1.0 / 60.0)
+    assert np.median(np.abs(got - np.asarray(ref))) < 0.005
+
+
+def test_lookup_multi_bounded_sentinel():
+    """Bounded packed mode: out-of-interval lookups return the 0xFFFF
+    sentinel; in-interval values match the unbounded packed path."""
+    from hcmvs_tpu.ops.volume import (_CHUNK, F_PACK_SCALE,
+                                      volume_lookup_multi)
+    rng = np.random.default_rng(9)
+    p, d, c = _CHUNK, 128, 64
+    tab = jnp.asarray((rng.random((p, d)) * 65535).round(), jnp.uint16)
+    f = jnp.asarray(rng.random((p, c)) * (d - 1), jnp.float32)
+    f_enc = jnp.round(f * F_PACK_SCALE).astype(jnp.uint16)
+    lo = jnp.asarray((rng.random(p) * 40) * F_PACK_SCALE, jnp.float32)
+    hi = jnp.asarray((60 + rng.random(p) * 60) * F_PACK_SCALE,
+                     jnp.float32)
+    bounds = jnp.concatenate(
+        [jnp.broadcast_to(lo[:, None], (p, 64)),
+         jnp.broadcast_to(hi[:, None], (p, 64))], axis=1
+    ).astype(jnp.uint16)
+    out_b = np.asarray(volume_lookup_multi(tab, f_enc, bounds,
+                                           interpret=True))
+    out_u = np.asarray(volume_lookup_multi(tab, f_enc, interpret=True))
+    fi = np.asarray(f_enc).astype(np.int64)
+    lo_i = np.asarray(bounds[:, 0]).astype(np.int64)
+    hi_i = np.asarray(bounds[:, 64]).astype(np.int64)
+    ok = (fi >= lo_i[:, None]) & (fi <= hi_i[:, None])
+    assert (out_b[~ok] == 65535).all()
+    assert ok.mean() > 0.2 and (~ok).mean() > 0.2  # both sides exercised
+    np.testing.assert_array_equal(out_b[ok],
+                                  np.minimum(out_u, 65534)[ok])
