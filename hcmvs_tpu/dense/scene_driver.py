@@ -241,7 +241,12 @@ def _build_scene_volumes(scene: SceneTensors, rect_build: bool = False,
         return build(geom, scene.gray[scene.nbr_idx[i]],
                      scene.d_min[i], scene.d_max[i])
 
-    return jax.lax.map(per_view, jnp.arange(scene.gray.shape[0]))
+    # unrolled over the (static) reference-view axis: the lax.map form
+    # added ~1.7s of loop machinery to a 4x0.41s build at 1280x960
+    # (r5 measured); per-view working sets are ~120MB so the unrolled
+    # liveness is cheap
+    outs = [per_view(i) for i in range(scene.gray.shape[0])]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
 
 def attach_volumes(scene: SceneTensors, cfg: DenseConfig) -> SceneTensors:
