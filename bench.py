@@ -173,7 +173,10 @@ def worker(n_views, h, w, v_nbr, mode):
     from hcmvs_tpu.dense.score import use_volume_tables
     from hcmvs_tpu.ops.volume import use_rect_volume_build
     t0 = time.perf_counter()
-    use_vol = use_volume_tables(cfg)
+    # volume_streaming builds tables inside each sweep call — no
+    # separate stage build to AOT-compile or amortize (the rebuild cost
+    # is charged INSIDE every timed round)
+    use_vol = use_volume_tables(cfg) and not cfg.volume_streaming
     rect_b = use_rect_volume_build(cfg, h, w)
     c_vol = (_build_scene_volumes.lower(scene, rect_build=rect_b).compile()
              if use_vol else None)

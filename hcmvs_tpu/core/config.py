@@ -84,6 +84,17 @@ class DenseConfig:
 
     # --- priors (ref: DepthMap.cpp:135-141) --------------------------------
     use_semantic: bool = False         # nUseSemantic
+    self_priors: int = 0               # force SLIC self-priors (planes fit
+                                       # on the solver's own depth) even
+                                       # WITHOUT real semantic masks.
+                                       # Default OFF: measured -0.21
+                                       # depth-acc on wide-FOV geometry
+                                       # (BASELINE.md r4 ablation); the
+                                       # reference's own discipline runs
+                                       # use-semantic only with mask
+                                       # files (resize1/run.py).  With
+                                       # masks present, use_semantic
+                                       # alone enables the full pass.
     semantic_consistency_mul: float = 0.1  # fSemanticConsistencyMul
     ransac_probability: float = 0.005  # ransacprobability
     ransac_epsilon_mul: float = 1.4    # fransacEpsilonMul
@@ -287,6 +298,22 @@ class DenseConfig:
                                        # the reference's sequential-
                                        # acceptance semantics
                                        # (ref: DepthMap.cpp:1441-1501).
+    volume_streaming: bool = False     # build each reference view's
+                                       # sigma tables INSIDE its sweep
+                                       # iteration (the lax.map body)
+                                       # instead of once per stage for
+                                       # the whole scene — the memory
+                                       # wall escape for the reference's
+                                       # 10-neighbor operating point
+                                       # (data/*/resize2/run.py
+                                       # --number-views 10): scene-wide
+                                       # tables at 1280x960 x 11 views x
+                                       # 10 nbrs would need ~35GB HBM vs
+                                       # ~3.2GB live per streamed view.
+                                       # Cost: tables rebuild once per
+                                       # sweep call (4/stage) instead of
+                                       # once per stage; bench charges
+                                       # the rebuild inside the round.
     volume_build: str = "auto"         # how the exact-scoring sigma
                                        # tables are BUILT.  "auto": the
                                        # rect-frame Pallas kernel on TPU

@@ -21,6 +21,7 @@ TPU-first re-design of the reference's prior stack
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -174,6 +175,119 @@ def prior_depth_map(labels: jax.Array, planes: jax.Array,
     return jnp.where(ok, depth, 0.0)
 
 
+def inv_depth_spacing(depth: jax.Array) -> jax.Array:
+    """Data-driven residual scale: median |Δ inverse depth| between
+    horizontally adjacent valid pixels — the TPU-native analog of the
+    reference's CGAL ``compute_average_spacing`` that anchors every
+    fransac* threshold (ref: SceneDensify.cpp:1335,1362 —
+    ``epsilon = average_spacing * fransacEpsilonMul``).  Returns a traced
+    scalar (so per-view values reuse one executable)."""
+    z = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
+    both = (depth[:, 1:] > 0) & (depth[:, :-1] > 0)
+    d = jnp.abs(z[:, 1:] - z[:, :-1])
+    d = jnp.where(both, d, jnp.nan)
+    med = jnp.nanmedian(d)
+    # fall back to scale-relative floors on constant / (near-)empty maps
+    zv = jnp.where(depth > 0, z, jnp.nan)
+    rng_scale = (jnp.nanmax(zv) - jnp.nanmin(zv)) * 1e-3
+    med_z = jnp.nanmedian(zv)
+    floor = jnp.where(jnp.isfinite(med_z), jnp.abs(med_z), 1.0) * 1e-4
+    med = jnp.where(jnp.isfinite(med) & (med > 1e-12), med, rng_scale)
+    return jnp.where(jnp.isfinite(med) & (med > floor), med, floor)
+
+
+def hyps_from_probability(probability: float, w_inlier: float = 0.5,
+                          m: int = 3, lo: int = 32, hi: int = 256) -> int:
+    """Host-side mapping of the reference's ``ransacprobability`` knob
+    (probability to miss the largest primitive, SceneDensify.cpp:1353) to
+    a static hypothesis count: P(miss) = (1 - w^m)^H  =>
+    H = log(P) / log(1 - w^m), clamped to [lo, hi] and rounded up to a
+    multiple of 32 (static shape reuse across views)."""
+    h = math.log(max(probability, 1e-12)) / math.log(1.0 - w_inlier ** m)
+    return int(min(hi, max(lo, 32 * math.ceil(h / 32))))
+
+
+@partial(jax.jit, static_argnames=("n_labels", "m", "n_r"))
+def segment_plane_nfa(labels: jax.Array, depth: jax.Array,
+                      planes: jax.Array, n_labels: int,
+                      spacing: jax.Array, m: int = 3, n_r: int = 12
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """A-contrario validation of per-segment planes — the AutoEstimator
+    (NFA) discipline of the reference's robust plane estimation
+    (ref: frame_main/libs/Common/AutoEstimator.h:230 driving
+    EstimatePlane*, DepthMap.h:661-664), vectorized over every segment at
+    once instead of a per-region RANSAC loop.
+
+    For each segment and each threshold r on a static ladder (geometric,
+    anchored at the data-driven ``spacing``), the inlier count k gives
+
+        log NFA(seg, r) = log n_r + log C(n, k) + log C(k, m)
+                          + (k - m) * log alpha(r)
+
+    with alpha(r) the EMPIRICAL background probability: the fraction of
+    the view's inverse depths landing within r of an UNRELATED plane
+    prediction (the prediction field rolled by half the image — the
+    permutation-null analog).  An analytic band model (2r / z-range)
+    would assume uniform background and badly underestimates alpha when
+    the inverse depths are concentrated (z = 1/d piles mass at small z),
+    wrongly blessing noise planes.  The per-segment minimum over the
+    ladder is the segment's significance: planes with log NFA >= 0 are
+    indistinguishable from chance.
+
+    Returns (log_nfa (L,), fine_frac (L,)) where fine_frac is the
+    segment's inlier fraction at r = spacing — the "genuinely planar"
+    fast-path statistic (a fronto-parallel segment has zero spread, a
+    degenerate null, and an undefined NFA; its fine_frac ~ 1 instead).
+    """
+    h, w = depth.shape
+    flat = labels.reshape(-1)
+    valid = (depth > 0).reshape(-1)
+    z = 1.0 / jnp.maximum(depth.reshape(-1), 1e-9)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    u = xx.reshape(-1)
+    v = yy.reshape(-1)
+    pred = (planes[flat, 0] * u + planes[flat, 1] * v + planes[flat, 2])
+    res = jnp.abs(z - pred)
+
+    # empirical null: residuals of points against spatially-unrelated
+    # plane predictions (half-image roll decorrelates point and plane)
+    p_tot = res.shape[0]
+    pred_null = jnp.roll(pred, p_tot // 2)
+    valid_null = valid & jnp.roll(valid, p_tot // 2)
+    res_null = jnp.abs(z - pred_null)
+
+    # static geometric threshold ladder around the data scale
+    ladder = spacing * jnp.asarray(
+        np.geomspace(0.5, 64.0, n_r), jnp.float32)          # (n_r,)
+    inl = (res[None, :] < ladder[:, None]) & valid[None, :]  # (n_r, P)
+    k_r = jax.vmap(lambda row: jax.ops.segment_sum(
+        row.astype(jnp.float32), flat, n_labels))(inl)       # (n_r, L)
+    n_seg = jax.ops.segment_sum(valid.astype(jnp.float32), flat,
+                                n_labels)                    # (L,)
+    n_null = jnp.maximum(jnp.sum(valid_null.astype(jnp.float32)), 1.0)
+    alpha = (jnp.sum((res_null[None, :] < ladder[:, None])
+                     & valid_null[None, :], axis=1) / n_null)  # (n_r,)
+
+    from jax.scipy.special import gammaln
+
+    def log_c(n, k):
+        return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(
+            jnp.maximum(n - k, 0.0) + 1.0)
+
+    log_alpha = jnp.log(jnp.clip(alpha, 1e-12, 1.0))         # (n_r,)
+    nfa = (np.log(n_r)
+           + log_c(n_seg[None], k_r) + log_c(k_r, float(m))
+           + (k_r - m) * log_alpha[:, None])                 # (n_r, L)
+    nfa = jnp.where(k_r > m, nfa, jnp.inf)
+    log_nfa = jnp.min(nfa, axis=0)
+    fine = (res < spacing) & valid
+    fine_frac = (jax.ops.segment_sum(fine.astype(jnp.float32), flat,
+                                     n_labels)
+                 / jnp.maximum(n_seg, 1.0))
+    return log_nfa, fine_frac
+
+
 @partial(jax.jit, static_argnames=("n_labels", "n_hyps", "radius"))
 def ransac_segment_planes(key: jax.Array, labels: jax.Array,
                           depth: jax.Array, n_labels: int,
@@ -260,25 +374,55 @@ def generate_priors(gray: jax.Array, depth: jax.Array, rays: jax.Array,
                     grid_step: int = 16,
                     semantic: "jax.Array | None" = None,
                     n_semantic_labels: int = 0,
-                    key: "jax.Array | None" = None) -> jax.Array:
+                    key: "jax.Array | None" = None,
+                    epsilon_mul: float = 1.4,
+                    min_points_div: float = 40.0,
+                    probability: float = 0.005,
+                    nfa_gate: bool = True) -> jax.Array:
     """Full prior pass for one view (the GenerateSuperDepthPrior +
     GenerateDepthPrior + GenerateFinalPrior analog): superpixels on the
     image, robust planes on the current depth, prior depth where planes
     are trustworthy.  With a ``semantic`` label map (the reference's
     nUseSemantic mask path), RANSAC planes fit per semantic region are
     merged over the superpixel prior (semantic wins where valid — the
-    GenerateFinalPrior merge, SceneDensify.cpp:1079-1161)."""
+    GenerateFinalPrior merge, SceneDensify.cpp:1079-1161).
+
+    Threshold discipline mirrors the reference's a-contrario framework
+    (AutoEstimator.h:230 + the CGAL Efficient_RANSAC parameter block,
+    SceneDensify.cpp:1350-1375): every inlier threshold derives from the
+    measured point spacing (``epsilon = spacing * epsilon_mul``, the
+    fransacEpsilonMul semantics), minimum support from
+    ``count / min_points_div`` (fransacMinPointsDiv), the hypothesis
+    budget from ``probability`` (ransacprobability), and — with
+    ``nfa_gate`` — each winning plane must be NFA-significant
+    (log NFA < 0, segment_plane_nfa) before it may feed the prior blend.
+    """
     h, w = gray.shape
     gh = max(h // grid_step, 1)
     gw = max(w // grid_step, 1)
+    spacing = inv_depth_spacing(depth)
+    eps = spacing * epsilon_mul
     labels = slic_superpixels(gray, grid_step)
-    planes, frac, cnt = fit_segment_planes(labels, depth, rays, gh * gw)
+    planes, frac, cnt = fit_segment_planes(labels, depth, rays, gh * gw,
+                                           tukey_c=eps)
+    if nfa_gate:
+        log_nfa, fine = segment_plane_nfa(labels, depth, planes, gh * gw,
+                                          spacing)
+        frac = jnp.where((log_nfa < 0.0) | (fine >= 0.9), frac, 0.0)
+    # fransacMinPointsDiv: a segment plane needs >= count/div inliers
+    icnt = frac * cnt
+    frac = jnp.where(icnt >= cnt / min_points_div, frac, 0.0)
     prior = prior_depth_map(labels, planes, frac, cnt, gh * gw)
     if semantic is not None and n_semantic_labels > 0:
         if key is None:
             key = jax.random.PRNGKey(0)
-        sp, sf, sc = ransac_segment_planes(key, semantic, depth,
-                                           n_semantic_labels)
+        sp, sf, sc = ransac_segment_planes(
+            key, semantic, depth, n_semantic_labels,
+            n_hyps=hyps_from_probability(probability), epsilon=eps)
+        if nfa_gate:
+            s_nfa, s_fine = segment_plane_nfa(semantic, depth, sp,
+                                              n_semantic_labels, spacing)
+            sf = jnp.where((s_nfa < 0.0) | (s_fine >= 0.9), sf, 0.0)
         sem_prior = prior_depth_map(semantic, sp, sf, sc,
                                     n_semantic_labels, min_support=100,
                                     min_inlier_frac=0.5)

@@ -90,8 +90,27 @@ def _per_view_context(scene: SceneTensors, i: jax.Array,
     offsets = S.patch_offsets(cfg)
     stats = S.ref_patch_stats(scene.gray[i], hw, offsets)
     rays = pixel_rays(geom.K_inv_ref, h, w)
-    vol_i = (None if scene.vols is None
-             else jax.tree.map(lambda x: x[i], scene.vols))
+    if scene.vols is not None:
+        vol_i = jax.tree.map(lambda x: x[i], scene.vols)
+    elif cfg.volume_streaming and S.use_volume_tables(cfg):
+        # streamed tables: build view i's per-neighbor sigma tables
+        # inside its own sweep iteration — only ONE reference view's
+        # tables are ever live (the 10-neighbor memory-wall escape; see
+        # cfg.volume_streaming)
+        from hcmvs_tpu.ops.volume import (build_volume_tables,
+                                          build_volume_tables_rect,
+                                          use_rect_volume_build)
+        if use_rect_volume_build(cfg, h, w):
+            vol_i = build_volume_tables_rect(
+                geom, scene.gray[scene.nbr_idx[i]],
+                scene.d_min[i], scene.d_max[i])
+        else:
+            vol_i = build_volume_tables(
+                geom, scene.gray[scene.nbr_idx[i]],
+                scene.d_min[i], scene.d_max[i],
+                n_chunks=max(cfg.volume_planes // 128, 1))
+    else:
+        vol_i = None
     vb = None
     if (vol_i is not None and S.use_candidate_batch(cfg)
             and cfg.use_pallas and jax.default_backend() == "tpu"):
@@ -185,7 +204,9 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
     h, w = state.depth.shape[1:]
     use_rect = (use_nbr and S.use_rect_backend(cfg, h, w)
                 and (cfg.use_geo_consistency or cfg.view_spread))
-    if h * w > 640 * 480 or use_rect:
+    streaming = (scene.vols is None and cfg.volume_streaming
+                 and S.use_volume_tables(cfg))
+    if h * w > 640 * 480 or use_rect or streaming:
         # large images: serialize the view axis (lax.map) — one view's
         # sweep already saturates the chip, and the vmapped working set
         # (N x per-candidate (S, H, W) intermediates) is what OOMs at
@@ -260,7 +281,10 @@ def attach_volumes(scene: SceneTensors, cfg: DenseConfig) -> SceneTensors:
     """
     from hcmvs_tpu.dense.score import use_volume_tables
     from hcmvs_tpu.ops.volume import use_rect_volume_build
-    if scene.vols is not None or not use_volume_tables(cfg):
+    if scene.vols is not None or not use_volume_tables(cfg) \
+            or cfg.volume_streaming:
+        # streaming mode defers the build into each view's own sweep
+        # iteration (scene_sweeps/_per_view_context)
         return scene
     h, w = scene.gray.shape[1:]
     return dataclasses.replace(scene, vols=_build_scene_volumes(
@@ -295,12 +319,14 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
         # extra prior-guided iterations, SceneDensify.cpp:983-1031).  An
         # external prior channel (--priors-dir, the meanshift analog)
         # activates the pass even without use_semantic, exactly like the
-        # reference's GenerateFinalPrior merge (SceneDensify.cpp:1079-1161)
-        if (cfg.use_semantic or scene.ext_prior_depth is not None) \
-                and it_ext == max(n_ext - 2, 1) \
+        # reference's GenerateFinalPrior merge (SceneDensify.cpp:1079-1161).
+        # Self-priors without real masks are gated off (want_prior_pass)
+        if want_prior_pass(scene, cfg) and it_ext == max(n_ext - 2, 1) \
                 and scene.prior_depth is None:
-            scene = compute_scene_priors(state, scene,
-                                         with_super=cfg.use_semantic)
+            scene = compute_scene_priors(
+                state, scene, cfg=cfg,
+                with_super=cfg.use_semantic and (
+                    scene.semantic is not None or bool(cfg.self_priors)))
         inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
                   and scene.inject_depth is not None)
         state = scene_sweeps(state, scene,
@@ -315,28 +341,55 @@ def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
     return state
 
 
-@partial(jax.jit, static_argnames=("n_semantic",))
+@partial(jax.jit, static_argnames=("n_semantic", "cfg"))
 def _priors_batched(key: jax.Array, gray: jax.Array, depth: jax.Array,
                     cams: Camera, semantic: Optional[jax.Array],
-                    n_semantic: int) -> jax.Array:
+                    n_semantic: int,
+                    cfg: Optional[DenseConfig] = None) -> jax.Array:
     from hcmvs_tpu.dense.priors import generate_priors
     n, h, w = gray.shape
     keys = jax.random.split(key, n)
+    # the fransac* knob family drives every prior-plane threshold
+    # (ref: DensifyPointCloud.cpp:195-198 CLI flags ->
+    # SceneDensify.cpp:1350-1375 CGAL parameter block)
+    kw = {}
+    if cfg is not None:
+        kw = dict(epsilon_mul=cfg.ransac_epsilon_mul,
+                  min_points_div=cfg.ransac_min_points_div,
+                  probability=cfg.ransac_probability)
 
     def per_view(k, g, d, cam, sem):
         rays = pixel_rays(cam.K_inv, h, w)
         return generate_priors(g, d, rays, semantic=sem,
-                               n_semantic_labels=n_semantic, key=k)
+                               n_semantic_labels=n_semantic, key=k, **kw)
 
     if semantic is None:
         return jax.vmap(lambda k, g, d, c: generate_priors(
-            g, d, pixel_rays(c.K_inv, h, w)))(keys, gray, depth, cams)
+            g, d, pixel_rays(c.K_inv, h, w), **kw))(keys, gray, depth,
+                                                    cams)
     return jax.vmap(per_view)(keys, gray, depth, cams, semantic)
+
+
+def want_prior_pass(scene: SceneTensors, cfg: DenseConfig) -> bool:
+    """Whether the superpixel/semantic prior pass should run at all.
+
+    Self-priors (SLIC planes fit on the solver's OWN depth, no real
+    masks) are gated OFF by default: measured -0.21 depth accuracy on
+    wide-FOV geometry (BASELINE.md r4 ablation — planes fit on
+    border-distorted depth pull scores the wrong way).  The reference
+    applies the same discipline by enabling --use-semantic only at its
+    final stage WITH mask files present (data/frame_main/resize1/run.py).
+    ``cfg.self_priors`` forces the old always-on behavior."""
+    return ((cfg.use_semantic and (scene.semantic is not None
+                                   or bool(cfg.self_priors)))
+            or scene.ext_prior_depth is not None)
 
 
 def compute_scene_priors(state: SceneState,
                          scene: SceneTensors,
-                         with_super: bool = True) -> SceneTensors:
+                         with_super: bool = True,
+                         cfg: Optional[DenseConfig] = None
+                         ) -> SceneTensors:
     """Attach per-view planar-prior depth maps to the scene (with the
     semantic-mask RANSAC path when masks are present — nUseSemantic).
 
@@ -352,7 +405,7 @@ def compute_scene_priors(state: SceneState,
                  if scene.semantic is not None else 0)
         priors = _priors_batched(jax.random.PRNGKey(7), scene.gray,
                                  state.depth, scene.cams, scene.semantic,
-                                 n_sem)
+                                 n_sem, cfg)
         if scene.ext_prior_depth is not None:
             priors = merge_final_prior(scene.ext_prior_depth, priors)
     else:

@@ -231,6 +231,86 @@ def label_faces_lbp(faces: np.ndarray, quality: np.ndarray,
     return labels
 
 
+def labeling_energy(faces: np.ndarray, quality: np.ndarray,
+                    labels: np.ndarray,
+                    smooth_weight: float = 0.3) -> float:
+    """Potts energy of a face labeling (data + smoothness), for
+    cross-solver selection; uses the same normalized data term as the
+    solvers."""
+    big = 1e6
+    data = np.where(quality > 0, -quality / max(quality.max(), 1e-9), big)
+    sel = np.where(labels >= 0, labels, 0)
+    e = float(np.where(labels >= 0,
+                       data[np.arange(len(labels)), sel], 0.0).sum())
+    adj_arr, _ = _face_adjacency(faces)
+    li = labels[:, None]
+    lj = np.where(adj_arr >= 0, labels[np.maximum(adj_arr, 0)], -9)
+    disagree = (adj_arr >= 0) & (lj != li) & (li >= 0) & (lj >= 0)
+    return e + 0.5 * smooth_weight * float(disagree.sum())
+
+
+def label_faces_trws(faces: np.ndarray, quality: np.ndarray,
+                     smooth_weight: float = 0.3,
+                     n_iters: int = 40) -> np.ndarray:
+    """Potts-MRF face labeling via tree-reweighted message passing — the
+    reference's OPTIONAL TRW-S texturing solver (ref: the TRWS/LBP
+    dispatch in SceneTexture.cpp:65-88, Math/TRWS/MRFEnergy.h).
+
+    TPU-shaped formulation: Kolmogorov's sequential node order (which
+    serializes at one face per step) is replaced by damped synchronous
+    sweeps with uniform edge-appearance reweighting gamma_i = 1/deg_i —
+    every message updates in parallel as one jitted scan, reusing the
+    LBP kernel's padded-adjacency delivery.  The result is kept only if
+    its Potts energy beats the LBP labeling (labeling_energy), so the
+    option can never regress the default."""
+    import jax
+    import jax.numpy as jnp
+    f, n_views = quality.shape
+    if f == 0:
+        return np.full(0, -1, np.int64)
+    adj_arr, rev = _face_adjacency(faces)
+    big = 1e6
+    data = np.where(quality > 0, -quality / max(quality.max(), 1e-9), big)
+    lam = smooth_weight
+    valid = adj_arr >= 0
+    adj_c = np.maximum(adj_arr, 0)
+    deg = np.maximum(valid.sum(1), 1)
+    gamma = (1.0 / deg).astype(np.float32)
+
+    @jax.jit
+    def run(data, adj_c, rev, valid, gamma):
+        d_max = adj_c.shape[1]
+        M = jnp.zeros((f, d_max, n_views), jnp.float32)
+
+        def step(M, _):
+            b = data + M.sum(1)                          # (F, L) beliefs
+            # tree-reweighted reparameterization: each edge sees only a
+            # gamma_i share of the node belief, minus its own message
+            hx = gamma[:, None, None] * b[:, None, :] - M
+            m_out = jnp.minimum(hx, hx.min(-1, keepdims=True) + lam)
+            m_out = m_out - m_out.min(-1, keepdims=True)
+            M_new = jnp.zeros_like(M)
+            M_new = M_new.at[adj_c.reshape(-1),
+                             rev.reshape(-1)].add(
+                jnp.where(valid.reshape(-1)[:, None],
+                          m_out.reshape(-1, n_views), 0.0))
+            return 0.5 * M + 0.5 * M_new, None           # damped
+
+        M, _ = jax.lax.scan(step, M, None, length=n_iters)
+        return jnp.argmin(data + M.sum(1), axis=1)
+
+    labels = np.asarray(run(jnp.asarray(data, jnp.float32),
+                            jnp.asarray(adj_c), jnp.asarray(rev),
+                            jnp.asarray(valid),
+                            jnp.asarray(gamma))).astype(np.int64)
+    labels[quality.max(1) <= 0] = -1
+    lbp = label_faces_lbp(faces, quality, smooth_weight)
+    if (labeling_energy(faces, quality, lbp, smooth_weight)
+            < labeling_energy(faces, quality, labels, smooth_weight)):
+        return lbp
+    return labels
+
+
 def reject_outlier_views(vertices: np.ndarray, faces: np.ndarray,
                          quality: np.ndarray, images: List[np.ndarray],
                          Ks, Rs, Cs, threshold: float = 6e-2) -> np.ndarray:
@@ -487,15 +567,20 @@ def texture_mesh(vertices: np.ndarray, faces: np.ndarray,
                  Cs: np.ndarray, atlas_size: int = 1024,
                  padding: int = 2, seam_leveling: bool = True,
                  local_leveling: bool = True,
-                 packer: str = "maxrects") -> TexturedMesh:
-    """Full texturing pass: outlier-reject -> LBP label -> charts ->
+                 packer: str = "maxrects",
+                 solver: str = "lbp") -> TexturedMesh:
+    """Full texturing pass: outlier-reject -> MRF label -> charts ->
     global + local seam leveling -> MaxRects atlas packing
     (ref: Scene::TextureMesh, SceneTexture.cpp:1972 + RectsBinPack.cpp;
-    ``packer`` = "maxrects" (reference default) | "shelf")."""
+    ``packer`` = "maxrects" (reference default) | "shelf";
+    ``solver`` = "lbp" (reference default) | "trws" | "icm" — the
+    labeling-solver option of SceneTexture.cpp:65-88)."""
     image_sizes = [(im.shape[1], im.shape[0]) for im in images]
     qual = face_view_quality(vertices, faces, Ks, Rs, Cs, image_sizes)
     qual = reject_outlier_views(vertices, faces, qual, images, Ks, Rs, Cs)
-    labels = label_faces_lbp(faces, qual)
+    label_fn = {"lbp": label_faces_lbp, "trws": label_faces_trws,
+                "icm": label_faces}[solver]
+    labels = label_fn(faces, qual)
     charts = _charts(faces, labels)
     offsets = (global_seam_leveling(vertices, faces, labels, charts,
                                     images, Ks, Rs, Cs)

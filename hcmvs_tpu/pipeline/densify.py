@@ -170,6 +170,155 @@ def build_scene_tensors(scene: SceneMVS, images_gray: List[np.ndarray],
         semantic=None if semantic is None else jnp.asarray(semantic))
 
 
+def load_mesh_any(path: str):
+    """Load a mesh from .obj or .ply -> (vertices (V,3), faces (F,3))."""
+    if path.lower().endswith(".obj"):
+        from hcmvs_tpu.io.obj import read_obj
+        m = read_obj(path)
+        return m.vertices, m.faces
+    from hcmvs_tpu.io.ply import read_ply
+    verts, extras = read_ply(path)
+    faces = extras.get("faces")
+    if faces is None:
+        raise ValueError(f"{path}: no faces — not a mesh")
+    return verts, faces
+
+
+def sample_mesh(input_path: str, out_path: str, f_sample: float,
+                verbose: bool = True) -> int:
+    """The --sample-mesh side mode (ref: DensifyPointCloud.cpp:383-397):
+    load a mesh and export an area-weighted surface sampling as a point
+    cloud.  ``f_sample`` > 0 is a sampling density (points per unit
+    area, Mesh::SamplePoints(REAL) Mesh.cpp:3455-3461); < 0 is a total
+    point count (Mesh::SamplePoints(unsigned), :3444-3454).  Returns the
+    number of points written."""
+    from hcmvs_tpu.mesh.mesh_ops import sample_points
+    verts, faces = load_mesh_any(input_path)
+    a, b, c = (verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]])
+    area = float(0.5 * np.linalg.norm(np.cross(b - a, c - a),
+                                      axis=1).sum())
+    if f_sample > 0:
+        n_pts = int(np.ceil(area * f_sample))
+    else:
+        n_pts = int(round(-f_sample))
+    n_pts = max(n_pts, 1)
+    pts, nrm = sample_points(verts, faces, n_pts)
+    write_ply_points(out_path, pts, nrm)
+    if verbose:
+        print(f"[densify] sampled mesh ({len(faces)} faces, area "
+              f"{area:.3g}) -> {n_pts} points -> {out_path}")
+    return n_pts
+
+
+def find_label_masks(scene: SceneMVS, images_dir: str,
+                     masks_dir: Optional[str] = None
+                     ) -> List[Optional[str]]:
+    """Per-image COLORED label image paths for --project-labels (ref:
+    the coloredMaskName convention '<image-stem>_l_colored.png' next to
+    the image, DensifyPointCloud.cpp:418-424); ``masks_dir`` overrides
+    the location."""
+    paths: List[Optional[str]] = []
+    for im in scene.images:
+        stem = os.path.splitext(os.path.basename(im.name))[0]
+        cand = []
+        if masks_dir:
+            cand += [os.path.join(masks_dir, stem + "_l_colored.png"),
+                     os.path.join(masks_dir, stem + ".png")]
+        cand.append(os.path.join(images_dir, stem + "_l_colored.png"))
+        paths.append(next((c for c in cand if os.path.exists(c)), None))
+    return paths
+
+
+def estimate_point_labels(scene: SceneMVS, label_paths: List[Optional[str]]
+                          ) -> np.ndarray:
+    """Project every point into its CLOSEST view (min point depth among
+    the point's view list) and sample that view's colored label image —
+    the EstimatePointLabels analog (ref: frame_main/libs/MVS/
+    DepthMap.cpp:2165-2217), vectorized over the whole cloud instead of
+    a per-point loop.  Returns (P, 3) uint8 BGR colors (white where the
+    view has no label image or the projection falls outside)."""
+    pts = scene.points.astype(np.float64)
+    counts = scene.point_view_counts.astype(np.int64)
+    ids = scene.point_view_ids.astype(np.int64)
+    n_img = len(scene.images)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    pt_of = np.repeat(np.arange(len(pts)), counts)       # (T,)
+
+    labels = []
+    sizes = np.zeros((n_img, 2), np.int64)
+    for i, p in enumerate(label_paths):
+        if p is None:
+            labels.append(None)
+            continue
+        img = load_image(p)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        labels.append(img)
+        sizes[i] = img.shape[:2]
+
+    # per-(point, view) depth; argmin per point picks the closest view
+    Rs = np.zeros((n_img, 3, 3))
+    Cs = np.zeros((n_img, 3))
+    Ks = np.zeros((n_img, 3, 3))
+    for i in range(n_img):
+        R, C = scene.pose_of(i)
+        Rs[i], Cs[i] = R, C
+        if labels[i] is not None:
+            Ks[i] = scene.intrinsics_of(i, int(sizes[i][1]),
+                                        int(sizes[i][0]))
+    Xc = np.einsum("tij,tj->ti", Rs[ids], pts[pt_of] - Cs[ids])  # (T, 3)
+    depth = np.where(Xc[:, 2] > 0, Xc[:, 2], np.inf)
+    has_lbl = np.array([lbl is not None for lbl in labels])[ids]
+    depth = np.where(has_lbl, depth, np.inf)
+    # segment argmin via lexical sort on (point, depth)
+    order = np.lexsort((depth, pt_of))
+    first = np.searchsorted(pt_of[order], np.arange(len(pts)))
+    best_t = order[np.clip(first, 0, len(order) - 1)]    # (P,) pair index
+
+    colors = np.full((len(pts), 3), 255, np.uint8)
+    best_view = ids[best_t]
+    best_ok = np.isfinite(depth[best_t]) & (counts > 0)
+    for i in range(n_img):
+        if labels[i] is None:
+            continue
+        sel = best_ok & (best_view == i)
+        if not sel.any():
+            continue
+        uvw = np.einsum("ij,pj->pi", Ks[i], Xc[best_t[sel]])
+        x = uvw[:, 0] / np.maximum(uvw[:, 2], 1e-12)
+        y = uvw[:, 1] / np.maximum(uvw[:, 2], 1e-12)
+        h_i, w_i = int(sizes[i][0]), int(sizes[i][1])
+        xi = np.clip(np.round(x).astype(np.int64), 0, w_i - 1)
+        yi = np.clip(np.round(y).astype(np.int64), 0, h_i - 1)
+        inside = (x >= -0.5) & (x < w_i - 0.5) & (y >= -0.5) \
+            & (y < h_i - 0.5)
+        rgb = labels[i][yi, xi]
+        colors[np.nonzero(sel)[0][inside]] = rgb[inside][:, ::-1]  # BGR
+    return colors
+
+
+def project_labels(scene_path: str, images_dir: str, out_base: str,
+                   masks_dir: Optional[str] = None,
+                   verbose: bool = True) -> dict:
+    """The ProjectLabels==1 side mode (ref: DensifyPointCloud.cpp:416-433):
+    colorize the scene's point cloud from per-image colored label images
+    and save ``<out_base>_labelled.mvs`` + ``.ply``."""
+    scene = read_mvs(scene_path)
+    label_paths = find_label_masks(scene, images_dir, masks_dir)
+    n_found = sum(p is not None for p in label_paths)
+    colors = estimate_point_labels(scene, label_paths)
+    scene.point_colors = colors
+    write_mvs(out_base + "_labelled.mvs", scene)
+    write_ply_points(out_base + "_labelled.ply", scene.points,
+                     colors=colors[:, ::-1])            # PLY wants RGB
+    if verbose:
+        print(f"[densify] projected labels from {n_found}/"
+              f"{len(scene.images)} label images -> "
+              f"{out_base}_labelled.mvs/.ply")
+    return {"n_points": len(scene.points), "n_label_images": n_found}
+
+
 def densify(scene_path: str, images_dir: str, out_dir: str,
             cfg: Optional[DenseConfig] = None,
             init_state_maps=None, verbose: bool = True,
@@ -401,10 +550,35 @@ def main(argv=None):
     ap.add_argument("--export-viewer", action="store_true",
                     help="also write scene_dense.html (offline WebGL "
                          "orbit viewer — the Viewer app equivalent)")
+    ap.add_argument("--sample-mesh", type=float, default=0.0,
+                    help="side mode (ref: DensifyPointCloud.cpp:383-397):"
+                         " sample the input MESH to a point cloud and "
+                         "exit; > 0 = points per unit area, < 0 = total "
+                         "point count")
+    ap.add_argument("--project-labels", action="store_true",
+                    help="side mode (ref: DensifyPointCloud.cpp:416-433):"
+                         " colorize the scene points from per-image "
+                         "'<stem>_l_colored.png' label images (or "
+                         "--masks-dir) and save *_labelled.mvs/.ply")
     args = ap.parse_args(argv)
     flags = dict(f.split("=", 1) for f in args.flags)
     cfg = config_from_cli_flags(flags)
     images_dir = args.images_dir or os.path.dirname(args.input_file)
+    if args.sample_mesh != 0.0:
+        os.makedirs(args.working_dir, exist_ok=True)
+        n = sample_mesh(args.input_file,
+                        os.path.join(args.working_dir,
+                                     "scene_sampled.ply"),
+                        args.sample_mesh)
+        print({"mode": "sample-mesh", "n_points": n})
+        return
+    if args.project_labels:
+        os.makedirs(args.working_dir, exist_ok=True)
+        stats = project_labels(args.input_file, images_dir,
+                               os.path.join(args.working_dir, "scene"),
+                               masks_dir=args.masks_dir)
+        print({"mode": "project-labels", **stats})
+        return
     stats = densify(args.input_file, images_dir, args.working_dir, cfg,
                     resume=not args.no_resume,
                     filter_point_cloud=args.filter_point_cloud,

@@ -178,7 +178,8 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     hypothesis injection at the final iteration (restore variant)."""
     from hcmvs_tpu.dense.scene_driver import (attach_volumes,
                                               compute_scene_priors,
-                                              optimize_maps, phase_cfg)
+                                              optimize_maps, phase_cfg,
+                                              want_prior_pass)
     from hcmvs_tpu.utils.profiling import stage_timer
     with stage_timer("stage.attach_volumes", block_on=lambda: tensors.vols,
                      log=verbose):
@@ -187,17 +188,22 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     priors_done = False
     for it_ext in range(n_ext):
         phase = 1 if it_ext >= cfg.photo2geo else 0
-        if (cfg.use_semantic or tensors.ext_prior_depth is not None) \
+        if want_prior_pass(tensors, cfg) \
                 and it_ext == max(n_ext - 2, 1) and not priors_done:
             # superpixel/semantic RANSAC planes replace the (cross-scale)
             # bootstrap prior for the final iterations, mirroring the
             # reference's GenerateFinalPrior overwrite of depthMapPrior;
             # an external --priors-dir channel merges in (external wins
-            # where nonzero, SceneDensify.cpp:1079-1161)
+            # where nonzero, SceneDensify.cpp:1079-1161).  SLIC
+            # self-priors (no real masks) are gated off by default —
+            # measured -0.21 on wide-FOV geometry (want_prior_pass)
             with stage_timer("stage.priors", log=verbose):
                 tensors = compute_scene_priors(
                     state, dataclasses.replace(tensors, prior_depth=None),
-                    with_super=cfg.use_semantic)
+                    cfg=cfg,
+                    with_super=cfg.use_semantic and (
+                        tensors.semantic is not None
+                        or bool(cfg.self_priors)))
             priors_done = True
         inject = (bool(cfg.cross_scale_inject) and it_ext == n_ext - 1
                   and tensors.inject_depth is not None)

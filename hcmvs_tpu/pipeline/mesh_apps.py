@@ -127,7 +127,8 @@ def cmd_texture(args) -> None:
     with stage_timer("texture", log=True):
         tm = texture_mesh(verts, faces, images, Ks, Rs, Cs,
                           atlas_size=args.atlas_size,
-                          seam_leveling=not args.no_seam_leveling)
+                          seam_leveling=not args.no_seam_leveling,
+                          solver=args.solver)
     out = args.output_file or args.mesh_file.replace(".ply",
                                                      "_texture.obj")
     write_textured_obj(out, tm)
@@ -165,6 +166,10 @@ def main(argv=None):
     t.add_argument("--images-dir", default=None)
     t.add_argument("--atlas-size", type=int, default=1024)
     t.add_argument("--no-seam-leveling", action="store_true")
+    t.add_argument("--solver", default="lbp",
+                   choices=("lbp", "trws", "icm"),
+                   help="face-labeling MRF solver (ref: the TRWS/LBP "
+                        "dispatch, SceneTexture.cpp:65-88)")
     t.set_defaults(fn=cmd_texture)
 
     args = ap.parse_args(argv)

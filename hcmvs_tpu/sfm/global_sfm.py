@@ -183,7 +183,8 @@ def global_sfm_from_matches(xy: List[np.ndarray],
         key, sub = jax.random.split(key)
         res = ransac_essential(sub, jnp.asarray(p0), jnp.asarray(p1),
                                jnp.ones(len(p0), bool),
-                               cfg.ransac_threshold)
+                               cfg.ransac_threshold,
+                               adaptive=cfg.adaptive_ransac)
         if int(res.n_inliers) < cfg.min_matches:
             continue
         pairs.append((i, j))

@@ -38,6 +38,21 @@ class SfMConfig:
     match_ratio: float = 0.8
     min_matches: int = 30
     ransac_threshold: float = 2e-5   # squared Sampson, normalized coords
+                                     # (fallback / homography-check scale)
+    adaptive_ransac: bool = True     # a-contrario (AC-RANSAC/ORSA) mode
+                                     # for the two-view E estimation: the
+                                     # inlier threshold becomes the
+                                     # data-driven NFA optimum instead of
+                                     # the fixed ransac_threshold — the
+                                     # reference's AutoEstimator driver
+                                     # (AutoEstimator.h:230), which is
+                                     # what lets the frontend run
+                                     # unattended across noise scales.
+                                     # Measured A/B (r5, ridge golden +
+                                     # noise-scale gates): parity at the
+                                     # calibrated scale, strictly better
+                                     # across 10x noise (see
+                                     # tests/test_sfm.py adaptive gates).
     pnp_threshold: float = 1e-4
     min_pnp_inliers: int = 12
     ba_every: int = 3
@@ -159,21 +174,33 @@ def sfm_from_matches(xy: List[np.ndarray],
         key, sub = jax.random.split(key)
         res = ransac_essential(sub, jnp.asarray(p0), jnp.asarray(p1),
                                jnp.asarray(vmask),
-                               cfg.ransac_threshold)
+                               cfg.ransac_threshold,
+                               adaptive=cfg.adaptive_ransac)
         n_inl = int(res.n_inliers)
         key, sub = jax.random.split(key)
+        # the H-vs-E planarity guard stays at the FIXED calibrated scale:
+        # a pair-specific (NFA) threshold weakens exactly the planar
+        # pairs the guard exists to reject (tight E threshold shrinks the
+        # denominator faster than the H count) — measured on the
+        # dolly-zoom golden (r5)
         hres = ransac_homography(sub, jnp.asarray(p0), jnp.asarray(p1),
                                  jnp.asarray(vmask),
                                  2.0 * cfg.ransac_threshold)
         h_ratio = int(hres.n_inliers) / max(n_inl, 1)
-        if n_inl > fallback[2]:
-            fallback = ((i, j), res, n_inl)
+        # fallback ranking for the all-planar case: weight support by how
+        # much of it the homography does NOT explain — raw max-inliers
+        # favors short-baseline lateral pairs (the most degenerate ones),
+        # while n*(1-ratio) prefers the pair with the most genuinely
+        # non-planar parallax (e.g. the dolly pairs on a plane scene)
+        fb_score = n_inl * max(1.0 - h_ratio, 0.02)
+        if fb_score > fallback[2]:
+            fallback = ((i, j), res, fb_score)
         if h_ratio > cfg.max_homography_ratio:
             continue
         if n_inl > best_inl:
             best_pair, best_res, best_inl = (i, j), res, n_inl
     if best_pair is None:
-        # every pair is near-planar: take the strongest anyway
+        # every pair is near-planar: take the least-planar strong pair
         best_pair, best_res, best_inl = fallback
     i0, i1 = best_pair
     if verbose:

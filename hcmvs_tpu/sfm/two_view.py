@@ -23,6 +23,12 @@ class TwoViewResult(NamedTuple):
     n_inliers: jax.Array  # scalar
     R: jax.Array          # (3, 3) relative rotation (cam1 <- cam0 frame)
     t: jax.Array          # (3,) unit translation
+    threshold: jax.Array = jnp.float32(0.0)  # realized squared-Sampson
+                          # inlier threshold (the data-driven NFA optimum
+                          # in adaptive mode; the input threshold
+                          # otherwise) — downstream model-selection
+                          # checks (H-vs-E degeneracy guard) must use
+                          # THIS scale, not the fixed config value
 
 
 def _eight_point(pts0: jax.Array, pts1: jax.Array) -> jax.Array:
@@ -66,7 +72,7 @@ def sampson_distance(E: jax.Array, pts0: jax.Array,
 def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
                      valid: jax.Array, threshold: float = 1e-5,
                      n_hypotheses: int = 512,
-                     adaptive: bool = False,
+                     adaptive: bool = True,
                      alpha0: float = 2.83) -> TwoViewResult:
     """Vmapped-hypothesis RANSAC for E on normalized correspondences.
 
@@ -98,8 +104,16 @@ def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
         log_nfa, thr2, k_star = nfa_threshold_batch(ds, valid, m=8,
                                                     alpha0=alpha0)
         # traced data-driven threshold from the most significant model;
-        # ranking by significance replaces the fixed-threshold count
-        threshold = thr2[jnp.argmin(log_nfa)]
+        # ranking by significance replaces the fixed-threshold count.
+        # The calibrated input threshold acts as a FLOOR: NFA may loosen
+        # it when the data is noisier than the calibration assumed (the
+        # unattended-operation case AC-RANSAC exists for), but never
+        # tighten below it — on planar scenes the E-family degeneracy
+        # yields near-zero-residual subsets whose NFA optimum collapses
+        # (measured 1e-14 on the dolly-zoom golden, r5), strips the
+        # inlier set, and mis-ranks init pairs; sub-calibration precision
+        # is keypoint-quantization noise, not signal
+        threshold = jnp.maximum(thr2[jnp.argmin(log_nfa)], threshold)
         counts = -log_nfa
 
         def score(E):
@@ -165,7 +179,8 @@ def ransac_essential(key: jax.Array, pts0: jax.Array, pts1: jax.Array,
     inliers = (d < threshold) & valid
     R, t = recover_pose(E, pts0, pts1, inliers)
     return TwoViewResult(E=E, inliers=inliers, n_inliers=inliers.sum(),
-                         R=R, t=t)
+                         R=R, t=t,
+                         threshold=jnp.asarray(threshold, jnp.float32))
 
 
 def skew3(v: jax.Array) -> jax.Array:

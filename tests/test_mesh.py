@@ -420,3 +420,45 @@ def test_qem_decimation_preserves_sharp_features():
     assert len(vq) < 0.3 * len(V)
     assert eq.mean() < 1e-4, eq.mean()            # planar: lossless
     assert eq.mean() < ec.mean() * 0.5, (eq.mean(), ec.mean())
+
+
+def test_trws_labeling_matches_or_beats_lbp():
+    """The TRW-S texturing-solver option (ref: SceneTexture.cpp:65-88):
+    on the noisy-strip MRF it reaches the same smoothed labeling as
+    LBP, and by construction its Potts energy is never worse (the
+    energy-based selection in label_faces_trws)."""
+    from hcmvs_tpu.mesh.texture import (label_faces_lbp, label_faces_trws,
+                                        labeling_energy)
+    rng = np.random.default_rng(4)
+    faces = np.array([[i, i + 1, i + 2] for i in range(24)], np.int32)
+    qual = rng.uniform(0.2, 1.0, (24, 3)).astype(np.float32)
+    qual[::2, 0] += 1.0                         # view 0 mostly dominant
+    t = label_faces_trws(faces, qual, smooth_weight=0.4)
+    l = label_faces_lbp(faces, qual, smooth_weight=0.4)
+    assert labeling_energy(faces, qual, t, 0.4) <= \
+        labeling_energy(faces, qual, l, 0.4) + 1e-6
+    # the lone-flip case resolves identically
+    qual2 = np.zeros((8, 2), np.float32)
+    qual2[:, 0] = 1.0
+    qual2[4, 0] = 0.45
+    qual2[4, 1] = 0.5
+    assert (label_faces_trws(faces[:8], qual2, smooth_weight=0.3)
+            == 0).all()
+
+
+def test_texture_mesh_solver_option():
+    """texture_mesh accepts solver='trws' end-to-end."""
+    from hcmvs_tpu.mesh.texture import texture_mesh
+    K = np.array([[40.0, 0, 32], [0, 40.0, 32], [0, 0, 1]])
+    R = np.eye(3)
+    verts = np.array([[-0.3, -0.3, 4], [0.3, -0.3, 4], [0.3, 0.3, 4],
+                      [-0.3, 0.3, 4]], np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    imgs = [np.full((64, 64), 120, np.uint8),
+            np.full((64, 64), 121, np.uint8)]
+    tm = texture_mesh(verts, faces, imgs, np.stack([K, K]),
+                      np.stack([R, R]),
+                      np.stack([np.zeros(3), np.array([0.1, 0, 0])]),
+                      atlas_size=128, solver="trws")
+    assert tm.atlas.shape == (128, 128, 3)
+    assert tm.uvs.shape == (2, 3, 2)

@@ -293,3 +293,64 @@ def test_full_run_smoke(tmp_path, monkeypatch):
     assert out["n_points"] > 5000
     assert out["mesh_fscore"] > 0.3
     assert out["n_faces"] > 1000
+
+
+def test_sample_mesh_mode(tmp_path):
+    """--sample-mesh side mode (ref: DensifyPointCloud.cpp:383-397):
+    density > 0 samples ~area*density points, negative value = exact
+    total count; points land on the mesh surface."""
+    from hcmvs_tpu.io.obj import write_obj
+    from hcmvs_tpu.io.ply import read_ply
+    from hcmvs_tpu.pipeline.densify import sample_mesh
+    verts = np.array([[0, 0, 0], [2, 0, 0], [2, 1, 0], [0, 1, 0]],
+                     np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh_path = str(tmp_path / "m.obj")
+    write_obj(mesh_path, verts, faces)
+    out = str(tmp_path / "sampled.ply")
+    n = sample_mesh(mesh_path, out, 100.0, verbose=False)  # area 2.0
+    assert n == 200
+    pts, extras = read_ply(out)
+    assert len(pts) == 200 and "normals" in extras
+    assert np.allclose(pts[:, 2], 0.0, atol=1e-6)          # on the plane
+    assert pts[:, 0].min() >= 0 and pts[:, 0].max() <= 2.0
+    n2 = sample_mesh(mesh_path, out, -57, verbose=False)
+    assert n2 == 57 and len(read_ply(out)[0]) == 57
+
+
+def test_project_labels_mode(scene, tmp_path):
+    """--project-labels side mode (ref: DensifyPointCloud.cpp:416-433 +
+    EstimatePointLabels DepthMap.cpp:2165-2217): every point takes the
+    label color of its CLOSEST view's colored mask."""
+    import cv2 as _cv2
+    from hcmvs_tpu.io.mvs import read_mvs
+    from hcmvs_tpu.io.ply import read_ply
+    from hcmvs_tpu.pipeline.densify import project_labels
+    scene_path, img_dir = _write_scene(tmp_path, scene)
+    # one solid label color per view (BGR written by cv2)
+    cols = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    h, w = scene.images[0].shape
+    for i, c in enumerate(cols):
+        lbl = np.zeros((h, w, 3), np.uint8)
+        lbl[:] = c
+        _cv2.imwrite(os.path.join(img_dir, f"im{i:04d}_l_colored.png"),
+                     lbl)
+    stats = project_labels(scene_path, img_dir,
+                           str(tmp_path / "scene"), verbose=False)
+    assert stats["n_label_images"] == 3
+    out = read_mvs(str(tmp_path / "scene_labelled.mvs"))
+    assert out.point_colors is not None
+    # closest view per point from GT geometry
+    sc = read_mvs(scene_path)
+    depths = np.stack([
+        np.einsum("ij,pj->pi", sc.pose_of(i)[0],
+                  sc.points - sc.pose_of(i)[1])[:, 2]
+        for i in range(3)])                                # (3, P)
+    best = depths.argmin(axis=0)
+    # cv2 writes BGR files; load_image returns RGB; point_colors stored
+    # BGR -> expected BGR color of the winning view
+    exp_bgr = np.array(cols, np.uint8)[:, ::-1][best][:, ::-1]
+    assert (out.point_colors == exp_bgr).all(), (
+        out.point_colors[:4], exp_bgr[:4])
+    pts, extras = read_ply(str(tmp_path / "scene_labelled.ply"))
+    assert len(pts) == len(sc.points) and "colors" in extras

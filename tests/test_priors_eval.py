@@ -202,3 +202,36 @@ def test_compute_scene_priors_external_channel():
     right = p[:, w // 2:]
     assert (right > 0).mean() > 0.5 and np.allclose(
         right[right > 0], 4.0, rtol=0.05)
+
+
+def test_self_prior_gate():
+    """Self-priors (SLIC planes on the solver's own depth, no real
+    masks) are gated OFF by default — measured -0.21 on wide-FOV
+    geometry (BASELINE r4); cfg.self_priors forces the old behavior and
+    real semantic masks enable the full pass (VERDICT r4 #5)."""
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.core.config import DenseConfig
+    from hcmvs_tpu.dense.scene_driver import SceneTensors, want_prior_pass
+    h, w, n = 16, 16, 1
+    cams = Camera(K=jnp.tile(jnp.eye(3)[None], (n, 1, 1)),
+                  R=jnp.tile(jnp.eye(3)[None], (n, 1, 1)),
+                  C=jnp.zeros((n, 3)))
+    base = dict(gray=jnp.zeros((n, h, w)), cams=cams,
+                nbr_idx=jnp.zeros((n, 1), jnp.int32),
+                nbr_valid=jnp.ones((n, 1), bool),
+                d_min=jnp.ones(n), d_max=jnp.full(n, 10.0))
+    scene = SceneTensors(**base)
+    cfg = DenseConfig(use_semantic=True)
+    # masks absent -> the pass is gated off
+    assert not want_prior_pass(scene, cfg)
+    # forced self-priors -> on
+    assert want_prior_pass(scene, cfg.replace(self_priors=1))
+    # real masks -> on
+    scene_m = SceneTensors(**base, semantic=jnp.zeros((n, h, w),
+                                                      jnp.int32))
+    assert want_prior_pass(scene_m, cfg)
+    # external channel activates the pass regardless of use_semantic
+    scene_e = SceneTensors(**base, ext_prior_depth=jnp.ones((n, h, w)))
+    assert want_prior_pass(scene_e, DenseConfig(use_semantic=False))
+    # nothing special -> off
+    assert not want_prior_pass(scene, DenseConfig())

@@ -407,3 +407,38 @@ def test_lookup_multi_bounded_sentinel():
     assert ok.mean() > 0.2 and (~ok).mean() > 0.2  # both sides exercised
     np.testing.assert_array_equal(out_b[ok],
                                   np.minimum(out_u, 65534)[ok])
+
+
+def test_volume_streaming_matches_attached():
+    """cfg.volume_streaming (per-view in-sweep table build — the
+    10-neighbor memory-wall escape, VERDICT r4 #4) produces the same
+    estimate as the stage-attached scene-wide tables."""
+    import numpy as np
+    from hcmvs_tpu.core.camera import Camera
+    from hcmvs_tpu.core.config import DenseConfig
+    from hcmvs_tpu.dense.scene_driver import (SceneTensors, estimate_scene,
+                                              finalize)
+    from hcmvs_tpu.utils.synth import make_ridge_scene
+    sc = make_ridge_scene(np.random.default_rng(2), h=48, w=64, n_views=4)
+    cams = Camera(K=jnp.stack([c.K for c in sc.cameras]),
+                  R=jnp.stack([c.R for c in sc.cameras]),
+                  C=jnp.stack([c.C for c in sc.cameras]))
+    nbr = np.array([[j for j in range(4) if j != i][:3] for i in range(4)],
+                   np.int32)
+    scene = SceneTensors(
+        gray=jnp.stack([jnp.asarray(im) for im in sc.images]), cams=cams,
+        nbr_idx=jnp.asarray(nbr), nbr_valid=jnp.ones((4, 3), bool),
+        d_min=jnp.full((4,), float(sc.depth_gt.min() * 0.7), jnp.float32),
+        d_max=jnp.full((4,), float(sc.depth_gt.max() * 1.3), jnp.float32))
+    outs = {}
+    for streaming in (False, True):
+        cfg = DenseConfig(estimation_iters=2, random_iters=3,
+                          exact_backend="volume",
+                          volume_streaming=streaming)
+        st = estimate_scene(jax.random.PRNGKey(0), scene, cfg)
+        depth, _, conf = finalize(st, cfg)
+        outs[streaming] = np.asarray(depth)
+    # identical tables, identical PRNG path -> identical maps
+    mismatch = (np.abs(outs[True] - outs[False])
+                > 1e-5 * np.abs(outs[False])).mean()
+    assert mismatch < 0.01, mismatch
