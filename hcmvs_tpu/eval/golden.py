@@ -189,10 +189,14 @@ def run_hierarchy(h: int = 144, w: int = 192, n_views: int = 5,
     sc = make_ridge_scene(rng, h=h, w=w, n_views=n_views, spacing=0.25,
                           fx=fx)
     K = np.asarray(sc.cameras[0].K)
+    sfm_cfg = SfMConfig(max_keypoints=512, min_matches=20,
+                        min_pnp_inliers=10, ba_every=2)
+    sfm_ov = os.environ.get("HCMVS_GOLDEN_SFM")   # A/B hook (like
+    if sfm_ov:                                    # HCMVS_GOLDEN_CFG)
+        import dataclasses as _dc
+        sfm_cfg = _dc.replace(sfm_cfg, **json.loads(sfm_ov))
     res = incremental_sfm(
-        [im.astype(np.float32) for im in sc.images], K,
-        SfMConfig(max_keypoints=512, min_matches=20, min_pnp_inliers=10,
-                  ba_every=2))
+        [im.astype(np.float32) for im in sc.images], K, sfm_cfg)
     tmp = tempfile.mkdtemp()
     img_dir = os.path.join(tmp, "images")
     os.makedirs(img_dir)

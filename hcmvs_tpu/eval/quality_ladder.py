@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--geo-backend", default="auto")
     ap.add_argument("--exact-backend", default="auto")
     ap.add_argument("--volume-planes", type=int, default=128)
+    ap.add_argument("--cfg", default="",
+                    help="JSON dict of extra DenseConfig field overrides "
+                         "(applied last) — the annealing-ladder sweep "
+                         "hook (VERDICT r4 #8)")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +86,8 @@ def main():
                       geo_backend=args.geo_backend,
                       exact_backend=args.exact_backend,
                       volume_planes=args.volume_planes)
+    if args.cfg:
+        cfg = cfg.replace(**json.loads(args.cfg))
 
     def acc_of(depth0):
         d0 = np.asarray(depth0)
