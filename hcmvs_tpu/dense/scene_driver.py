@@ -132,10 +132,12 @@ def _per_view_context(scene: SceneTensors, i: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("cfg", "phase", "n_iters", "use_nbr",
-                                   "inject"))
+                                   "inject", "view_chunk"))
 def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
                  phase: int, n_iters: int, use_nbr: bool,
-                 inject: bool = False) -> SceneState:
+                 inject: bool = False,
+                 view_start: Optional[jax.Array] = None,
+                 view_chunk: int = 0) -> SceneState:
     """``n_iters`` red/black sweeps on every view, batched.
 
     Neighbor depth/normal snapshots are taken once at entry (double
@@ -144,6 +146,13 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
     attached), the last inner sweep scores the upsampled previous-stage
     hypothesis with a 0.1 bonus (ref: restore/libs/MVS/
     DepthMap.cpp:1527-1549).
+
+    ``view_chunk`` > 0 processes only views [view_start, view_start +
+    view_chunk) against the full-scene snapshot and update-slices the
+    result back — the bounded-dispatch form for tunnels/hosts that cap
+    single-execution length (the 11-view streamed 10-neighbor program is
+    one multi-minute dispatch otherwise — crashed the axon worker, r5).
+    ``view_start`` is traced, so ONE executable serves every chunk.
     """
     offsets = S.patch_offsets(cfg)
     prop_offsets = propagation_offsets(cfg)
@@ -199,9 +208,17 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
         st = one_iter(st, inject, cfg, ctx, offsets)
         return st.depth, st.normal, st.cost, st.key
 
-    idx = jnp.arange(state.depth.shape[0])
-    leaves = (state.depth, state.normal, state.cost, state.keys)
     h, w = state.depth.shape[1:]
+    full_leaves = (state.depth, state.normal, state.cost, state.keys)
+    if view_chunk:
+        idx = view_start + jnp.arange(view_chunk)
+        leaves = jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, view_start,
+                                                   view_chunk, 0),
+            full_leaves)
+    else:
+        idx = jnp.arange(state.depth.shape[0])
+        leaves = full_leaves
     use_rect = (use_nbr and S.use_rect_backend(cfg, h, w)
                 and (cfg.use_geo_consistency or cfg.view_spread))
     streaming = (scene.vols is None and cfg.volume_streaming
@@ -218,6 +235,11 @@ def scene_sweeps(state: SceneState, scene: SceneTensors, cfg: DenseConfig,
                                  (idx, leaves))
     else:
         d, n, c, k = jax.vmap(per_view)(idx, leaves)
+    if view_chunk:
+        d, n, c, k = jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part, view_start, 0),
+            full_leaves, (d, n, c, k))
     return SceneState(depth=d, normal=n, cost=c, keys=k)
 
 
@@ -308,6 +330,8 @@ def phase_cfg(cfg: DenseConfig, phase: int,
 def estimate_scene(key: jax.Array, scene: SceneTensors, cfg: DenseConfig,
                    verbose: bool = False) -> SceneState:
     """Full multi-view estimation with the HC-MVS external schedule."""
+    from hcmvs_tpu.core.config import window_cfg_for_width
+    cfg = window_cfg_for_width(cfg, scene.gray.shape[2])
     state = init_scene_state(key, scene)
     scene = attach_volumes(scene, cfg)
     n_ext = cfg.estimation_iters_external

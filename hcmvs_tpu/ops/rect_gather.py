@@ -393,21 +393,39 @@ def rect_lookup(ctx: RectContext, sigma: jax.Array,
 
     map_specs = [spec(i_r, i_c) for i_r in range(R_HALVES)
                  for i_c in range(2)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(v, n_bh, n_bw),
-        in_specs=map_specs + [field_spec, field_spec],
-        out_specs=pl.BlockSpec(
-            (1, c, 1, 1, 8, 128),
-            lambda vg, ig, jg, rb, cbr: (vg, 0, ig, jg, 0, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_lookup_kernel, c=c),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((v, c, n_bh, n_bw, 8, 128),
-                                       jnp.float32),
-        interpret=interpret,
-    )(ctx.rb, cb, *([ctx.maps] * (2 * R_HALVES)), ctx.roff, icol_b)
+
+    def call(rb_c, cb_c, maps_c, roff_c, icol_c):
+        v_c = rb_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(v_c, n_bh, n_bw),
+            in_specs=map_specs + [field_spec, field_spec],
+            out_specs=pl.BlockSpec(
+                (1, c, 1, 1, 8, 128),
+                lambda vg, ig, jg, rb, cbr: (vg, 0, ig, jg, 0, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_lookup_kernel, c=c),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((v_c, c, n_bh, n_bw, 8, 128),
+                                           jnp.float32),
+            interpret=interpret,
+        )(rb_c, cb_c, *([maps_c] * (2 * R_HALVES)), roff_c, icol_c)
+
+    # Mosaic precomputes each grid step's block indices into SMEM (~1MB
+    # capacity): at 1280x960 the (V, 120, 10) grid fits for V <= ~6 but
+    # blew SMEM at the reference's 10-neighbor operating point (measured
+    # r5: 1.17M needed) — chunk the view axis so each call's grid stays
+    # bounded; outputs concatenate back
+    v_chunk = 4
+    if v <= v_chunk:
+        out = call(ctx.rb, cb, ctx.maps, ctx.roff, icol_b)
+    else:
+        out = jnp.concatenate(
+            [call(ctx.rb[s:s + v_chunk], cb[s:s + v_chunk],
+                  ctx.maps[s:s + v_chunk], ctx.roff[s:s + v_chunk],
+                  icol_b[s:s + v_chunk])
+             for s in range(0, v, v_chunk)], axis=0)
     return _from_blocks(out, h, w)
 
 

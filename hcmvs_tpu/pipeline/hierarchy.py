@@ -176,11 +176,13 @@ def _run_stage(state: SceneState, tensors: SceneTensors, cfg: DenseConfig,
     prior pass at iteration n-2 (ref: GenerateDepthPrior at
     it_external == n-2, SceneDensify.cpp:983-1031) and the cross-scale
     hypothesis injection at the final iteration (restore variant)."""
+    from hcmvs_tpu.core.config import window_cfg_for_width
     from hcmvs_tpu.dense.scene_driver import (attach_volumes,
                                               compute_scene_priors,
                                               optimize_maps, phase_cfg,
                                               want_prior_pass)
     from hcmvs_tpu.utils.profiling import stage_timer
+    cfg = window_cfg_for_width(cfg, tensors.gray.shape[2])
     with stage_timer("stage.attach_volumes", block_on=lambda: tensors.vols,
                      log=verbose):
         tensors = attach_volumes(tensors, cfg)

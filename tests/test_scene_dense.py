@@ -389,3 +389,20 @@ def test_gap_repropagate_fills_smooth_holes_only():
         if ok.any():
             tgt = gt_np_full[20:24, col][ok] * scale
             assert (np.abs(vals[ok] - tgt) / tgt).max() < 0.02, (col, vals)
+
+
+def test_window_cfg_for_width():
+    """Resolution-aware windows (VERDICT r4 #8 closure): >= 2x the
+    reference width doubles window + step (same sample count, 2x
+    extent); below it and with the knob off, the config is untouched."""
+    from hcmvs_tpu.core.config import DenseConfig, window_cfg_for_width
+    base = DenseConfig(adapt_half_window=5, patch_half_window=3,
+                       patch_step=2, window_ref_width=320)
+    hi = window_cfg_for_width(base, 1280)
+    assert (hi.adapt_half_window, hi.patch_half_window,
+            hi.patch_step) == (10, 6, 4)
+    assert hi.num_patch_samples == base.num_patch_samples
+    lo = window_cfg_for_width(base, 320)
+    assert lo == base
+    off = window_cfg_for_width(base.replace(window_ref_width=0), 1280)
+    assert off.patch_half_window == 3
